@@ -1,0 +1,1069 @@
+"""The MBAR estimator class.
+
+Capability parity with the reference ``pymbar/mbar.py`` class ``MBAR``
+(/root/reference/pymbar/mbar.py:64-1988): identical constructor surface,
+result-dictionary schemas and uncertainty-method options
+(None/approximate/svd/svd-ew/bootstrap).
+
+TPU-first notes
+---------------
+The solve, weight-matrix, Gram (W^T W) and eigendecomposition work runs on
+device through :mod:`pymbar_tpu.ops` / :mod:`pymbar_tpu.solvers`; this class
+is a thin stateful shell holding host copies, the RNG and bookkeeping.  The
+covariance estimators consume W in Gram form where possible so the N×K weight
+matrix is only materialized for the (host-facing, reference-parity)
+``Log_W_nk`` attribute.
+"""
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from pymbar_tpu import solvers as mbar_solvers
+from pymbar_tpu.ops.logsumexp import logsumexp as dev_logsumexp
+from pymbar_tpu.ops.mbar_core import log_denominator_n as dev_log_denominator_n
+from pymbar_tpu.ops.mbar_core import mbar_log_W_nk
+from pymbar_tpu.solvers import (
+    BOOTSTRAP_SOLVER_PROTOCOL,
+    DEFAULT_SOLVER_PROTOCOL,
+    JAX_SOLVER_PROTOCOL,
+    ROBUST_SOLVER_PROTOCOL,
+)
+from pymbar_tpu.utils import (
+    DataError,
+    ParameterError,
+    check_w_normalized,
+    kln_to_kn,
+    kn_to_n,
+    logsumexp,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MBAR"]
+
+
+class MBAR:
+    """Multistate Bennett acceptance ratio estimator (Shirts & Chodera 2008).
+
+    See the reference constructor documentation (mbar.py:85-231) for the full
+    parameter semantics; the surface here is identical.
+    """
+
+    def __init__(
+        self,
+        u_kn,
+        N_k,
+        maximum_iterations=10000,
+        relative_tolerance=1.0e-7,
+        verbose=False,
+        initial_f_k=None,
+        solver_protocol=None,
+        initialize="zeros",
+        x_kindices=None,
+        n_bootstraps=0,
+        bootstrap_solver_protocol=None,
+        rseed=None,
+    ):
+        self.N_k = np.array(N_k, dtype=np.int64)
+        self.N = int(np.sum(self.N_k))
+
+        # Accept u_kln (K, L, N_max) layout and flatten (reference mbar.py:238-240).
+        if len(np.shape(u_kn)) == 3:
+            self.K = np.shape(u_kn)[1]
+            u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+
+        self.u_kn = np.array(u_kn, dtype=np.float64)
+        K, N = np.shape(self.u_kn)
+
+        if verbose:
+            logger.info(f"K (total states) = {K:d}, total samples = {N:d}")
+
+        if np.sum(self.N_k) != N:
+            raise ParameterError(
+                "The sum of all N_k must equal the total number of samples "
+                "(length of second dimension of u_kn."
+            )
+
+        self.K = K
+        self.N = N
+
+        # Which origin state each sample was drawn from (matters for BAR init
+        # and bootstrap resampling; reference mbar.py:261-268).
+        if x_kindices is not None:
+            self.x_kindices = np.array(x_kindices, dtype=np.int64)
+        else:
+            self.x_kindices = np.repeat(np.arange(K, dtype=np.int64), self.N_k)
+
+        self.verbose = verbose
+
+        if rseed is None:
+            rseed = np.random.randint(np.iinfo(np.int32).max)
+        self.rng = np.random.default_rng(rseed)
+
+        # Duplicate-state detection on a small random subsample (reference
+        # mbar.py:279-317).  The RNG draw happens unconditionally so bootstrap
+        # streams are identical regardless of verbosity.
+        self.samestates = []
+        maxpoint = min(50, self.N)
+        indices = self.rng.choice(np.arange(self.N), maxpoint)
+        if self.verbose:
+            for k in range(K):
+                for l in range(k):
+                    uzero = self.u_kn[k, indices] - self.u_kn[l, indices]
+                    if np.dot(uzero, uzero) < relative_tolerance:
+                        self.samestates.append([k, l])
+                        self.samestates.append([l, k])
+                        logger.warning(
+                            f"States {l:d} and {k:d} have the same energies "
+                            "on the dataset.\n"
+                            "They are therefore likely to to be the same "
+                            "thermodynamic state. This can occasionally "
+                            "cause\nnumerical problems with computing the "
+                            "covariance of their energy difference, which "
+                            "must be\nidentically zero in any case. Consider "
+                            "combining them into a single state.\n"
+                        )
+
+        if self.verbose:
+            logger.info("N_k = ")
+            logger.info(self.N_k)
+
+        self.states_with_samples = np.where(self.N_k != 0)[0].astype(np.int64)
+        self.K_nonzero = self.states_with_samples.size
+        if verbose:
+            logger.info(f"There are {self.K_nonzero:d} states with samples.")
+
+        self.f_k = np.zeros(self.K, dtype=np.float64)
+
+        if initial_f_k is not None:
+            if self.verbose:
+                logger.info("Initializing f_k with provided initial guess.")
+            initial_f_k = np.array(initial_f_k, dtype=np.float64)
+            if initial_f_k.shape != self.f_k.shape:
+                raise ParameterError(
+                    f"initial_f_k must be a {self.K:d}-dimensional np array."
+                )
+            self.f_k = initial_f_k
+            if self.verbose:
+                logger.info(self.f_k)
+            self.f_k[:] = self.f_k[:] - self.f_k[0]
+        else:
+            self._initializeFreeEnergies(verbose, method=initialize, f_k_init=initial_f_k)
+            if self.verbose:
+                logger.info(
+                    f"Initial dimensionless free energies with method {initialize:s}"
+                )
+                logger.info("f_k = ")
+                logger.info(self.f_k)
+
+        # Normalize the solver protocols exactly as the reference does
+        # (mbar.py:367-411): fill options/continuation defaults and raise
+        # every stage's maxiter to maximum_iterations.
+        solver_protocol = self._resolve_protocol(
+            solver_protocol, DEFAULT_SOLVER_PROTOCOL, maximum_iterations
+        )
+        bootstrap_solver_protocol = self._resolve_protocol(
+            bootstrap_solver_protocol, BOOTSTRAP_SOLVER_PROTOCOL, maximum_iterations
+        )
+
+        self.f_k = mbar_solvers.solve_mbar_for_all_states(
+            self.u_kn, self.N_k, self.f_k, self.states_with_samples, solver_protocol
+        )
+
+        self.n_bootstraps = n_bootstraps
+        if n_bootstraps > 0:
+            maxfrac = int(max(1, 0.1 * n_bootstraps))
+            self.f_k_boots = np.zeros([n_bootstraps, self.K])
+            allN = int(np.sum(N_k))
+            self.bootstrap_rints = np.zeros([n_bootstraps, allN], int)
+            for b in range(n_bootstraps):
+                f_k_init = np.array(self.f_k.copy())
+                # Resample within each origin state (reference mbar.py:425-435).
+                rints = np.zeros(allN, int)
+                for k in range(K):
+                    k_indices = np.where(self.x_kindices == k)[0]
+                    if len(k_indices) == 0:
+                        continue
+                    new_kindices = k_indices[
+                        self.rng.integers(int(self.N_k[k]), size=int(self.N_k[k]))
+                    ]
+                    rints[k_indices] = new_kindices
+                if initialize == "BAR":
+                    f_k_init = self._initialize_with_bar(
+                        self.u_kn[:, rints], f_k_init=self.f_k
+                    )
+                self.f_k_boots[b, :] = mbar_solvers.solve_mbar_for_all_states(
+                    self.u_kn[:, rints],
+                    self.N_k,
+                    f_k_init,
+                    self.states_with_samples,
+                    bootstrap_solver_protocol,
+                )
+                self.bootstrap_rints[b, :] = rints
+                if verbose and b % maxfrac == 0:
+                    logger.info(
+                        f"Calculated {b + 1:d}/{n_bootstraps:d} bootstrap samples"
+                    )
+        elif n_bootstraps < 0:
+            logger.warning("n_bootstraps must be an integer >= 0")
+
+        self.Log_W_nk = np.array(
+            mbar_log_W_nk(
+                jnp.asarray(self.u_kn),
+                jnp.asarray(self.N_k, dtype=np.float64),
+                jnp.asarray(self.f_k),
+            )
+        )
+
+        if self.verbose:
+            logger.info("Final dimensionless free energies")
+            logger.info("f_k = ")
+            logger.info(self.f_k)
+            logger.info("MBAR initialization complete.")
+
+    @staticmethod
+    def _resolve_protocol(prot, default, maximum_iterations):
+        """Reference protocol-normalization semantics (mbar.py:367-411)."""
+        if prot is None or prot == "default":
+            prot = default
+        elif prot == "robust":
+            prot = ROBUST_SOLVER_PROTOCOL
+        elif prot == "jax":
+            prot = JAX_SOLVER_PROTOCOL
+        else:
+            for solver in prot:
+                if not isinstance(solver, dict):
+                    logger.warning(
+                        "solver protocol is not 'robust','default' or a "
+                        "tuple/list of dictionaries, setting to 'default'"
+                    )
+                    prot = default
+                    break
+        prot = tuple(dict(stage) for stage in prot)  # deep-ish copy
+        for solver in prot:
+            solver["options"] = dict(solver.get("options") or {})
+            solver.setdefault("continuation", None)
+            if "maxiter" not in solver["options"]:
+                solver["options"]["maxiter"] = maximum_iterations
+            if maximum_iterations > solver["options"]["maxiter"]:
+                solver["options"]["maxiter"] = maximum_iterations
+                logger.info(
+                    f"Explicitly overwriting maxiter="
+                    f"{solver['options']['maxiter']} with maximum_iterations="
+                    f"{maximum_iterations}"
+                )
+        return prot
+
+    # -------------------------------------------------------------------------
+    # Weights
+    # -------------------------------------------------------------------------
+
+    @property
+    def W_nk(self):
+        """The N×K weight matrix (stored internally in log space)."""
+        return np.exp(self.Log_W_nk)
+
+    def weights(self):
+        """Retrieve the weight matrix W_nk (reference mbar.py:481-493)."""
+        return np.exp(self.Log_W_nk)
+
+    # -------------------------------------------------------------------------
+    # Diagnostics
+    # -------------------------------------------------------------------------
+
+    def compute_effective_sample_number(self, verbose=False):
+        """Kish effective sample size per state: 1 / sum_n W_nk^2.
+
+        Reference mbar.py:496-560.
+        """
+        W = np.exp(self.Log_W_nk)
+        N_eff = 1.0 / np.sum(W**2, axis=0)
+        if verbose:
+            for k in range(self.K):
+                logger.info(
+                    f"Effective number of sample in state {k:d} is {N_eff[k]:10.3f}"
+                )
+                logger.info(
+                    "Efficiency for state {:d} is {:6f}/{:d} = {:10.4f}".format(
+                        k, N_eff[k], W.shape[0], N_eff[k] / W.shape[0]
+                    )
+                )
+        return N_eff
+
+    def compute_overlap(self):
+        """State-overlap matrix O = N_k (W^T W) and its spectrum.
+
+        Returns dict(scalar, eigenvalues, matrix); scalar = 1 - second-largest
+        eigenvalue (reference mbar.py:563-617).
+        """
+        W = jnp.asarray(self.Log_W_nk)
+        W = jnp.exp(W)
+        O = np.asarray(self.N_k * np.array(jnp.dot(W.T, W)))
+        eigenvals = np.linalg.eigvals(O)
+        eigenvals = np.sort(eigenvals)[::-1]
+        overlap_scalar = 1 - eigenvals[1]
+        return dict(scalar=overlap_scalar, eigenvalues=eigenvals, matrix=O)
+
+    # -------------------------------------------------------------------------
+    # Free energy differences
+    # -------------------------------------------------------------------------
+
+    def compute_free_energy_differences(
+        self,
+        compute_uncertainty=True,
+        uncertainty_method=None,
+        warning_cutoff=1.0e-10,
+        return_theta=False,
+    ):
+        """Delta f_ij = f_j - f_i with asymptotic or bootstrap uncertainties.
+
+        Result keys: 'Delta_f', 'dDelta_f' (if compute_uncertainty), 'Theta'
+        (if return_theta).  Reference mbar.py:620-729.
+        """
+        Deltaf_ij = np.array(self.f_k - np.vstack(self.f_k))
+        self._zerosamestates(Deltaf_ij)
+
+        result_vals = dict()
+        result_vals["Delta_f"] = Deltaf_ij
+
+        if uncertainty_method == "bootstrap" and (
+            self.n_bootstraps is None or self.n_bootstraps <= 0
+        ):
+            raise ParameterError(
+                "Cannot request bootstrap sampling of free energy differences "
+                "without any bootstraps."
+            )
+
+        Theta_ij = None
+        if (compute_uncertainty and uncertainty_method != "bootstrap") or return_theta:
+            Theta_ij = self._computeAsymptoticCovarianceMatrix(
+                np.exp(self.Log_W_nk), self.N_k, method=uncertainty_method
+            )
+
+        if compute_uncertainty:
+            if uncertainty_method == "bootstrap":
+                diffm = self.f_k_boots[:, None, :] - self.f_k_boots[:, :, None]
+                result_vals["dDelta_f"] = np.std(diffm, axis=0)
+            else:
+                dDeltaf_ij = np.array(
+                    self._ErrorOfDifferences(Theta_ij, warning_cutoff=warning_cutoff)
+                )
+                self._zerosamestates(dDeltaf_ij)
+                result_vals["dDelta_f"] = np.array(dDeltaf_ij)
+
+        if return_theta:
+            result_vals["Theta"] = Theta_ij
+
+        return result_vals
+
+    # -------------------------------------------------------------------------
+    # Expectations
+    # -------------------------------------------------------------------------
+
+    def compute_expectations_inner(
+        self,
+        A_n,
+        u_ln,
+        state_map,
+        uncertainty_method=None,
+        warning_cutoff=1.0e-10,
+        return_theta=False,
+    ):
+        """Augmented-state expectations workhorse (reference mbar.py:732-1030).
+
+        Builds an augmented weight matrix with K original states, NL extra
+        states from u_ln, and S observable pseudo-states; observables are
+        shifted positive by A_min - 4eps|A_min| so everything runs in log
+        space.  Returns dict with 'observables', 'f', 'Theta' (block form),
+        'Amin', 'bootstrapped_observables', 'bootstrapped_f' as applicable.
+        """
+        logfactor = 4.0 * np.finfo(np.float64).eps
+
+        state_map = np.asarray(state_map)
+        mapshape = np.shape(state_map)
+        if len(mapshape) < 2:
+            state_list = state_map.copy()
+            state_map = np.zeros([0, 0], int)
+            S = 0
+        else:
+            state_list = state_map[0, :]
+            S = mapshape[1]
+
+        u_ln = np.asarray(u_ln, dtype=np.float64)
+        if u_ln.ndim == 1:
+            u_ln = u_ln.reshape(1, -1)
+
+        # Work on a float64 copy of the observables: the reference shifts
+        # A_n in place and restores it afterwards (mbar.py:864-878, :973-975);
+        # the net caller-visible effect is none, which a copy also delivers.
+        A_n = np.array(A_n, dtype=np.float64)
+        if A_n.ndim == 1:
+            A_n = A_n.reshape(1, -1)
+
+        K = self.K
+        N = self.N
+        result_vals = dict()
+
+        L_list = np.unique(state_list)
+        NL = len(L_list)
+        if S > 0:
+            A_list = np.unique(state_map[1, :])
+            A_min = np.zeros(int(np.max(A_list)) + 1, dtype=np.float64)
+            logfactors = np.zeros(int(np.max(A_list)) + 1, dtype=np.float64)
+        else:
+            A_list = np.zeros(0, dtype=int)
+            A_min = np.zeros(0, dtype=np.float64)
+            logfactors = np.zeros(0, dtype=np.float64)
+
+        for i in A_list:
+            A_min[i] = np.min(A_n[i, :])
+            logfactors[i] = np.abs(logfactor * A_min[i])
+            A_n[i, :] = A_n[i, :] - (A_min[i] - logfactors[i])
+
+        msize = K + NL + S
+        Log_W_nk = np.zeros([N, msize], np.float64)
+        N_k = np.zeros(msize, np.int64)
+        f_k = np.zeros(msize, np.float64)
+
+        if uncertainty_method == "bootstrap":
+            n_total = self.n_bootstraps + 1
+            A_i_bootstrap = np.zeros([self.n_bootstraps, S])
+            f_bootstrap = np.zeros([self.n_bootstraps, len(state_list)])
+        else:
+            n_total = 1
+
+        N_k_float = jnp.asarray(self.N_k, dtype=np.float64)
+        Theta_ij = None
+
+        for n in range(n_total):
+            N_k[0:K] = self.N_k
+            if n == 0:
+                f_k[0:K] = self.f_k
+                u_kn = self.u_kn
+                Log_W_nk[:, 0:K] = self.Log_W_nk
+                ri = np.arange(self.N)
+            else:
+                f_k[0:K] = self.f_k_boots[n - 1, :]
+                ri = self.bootstrap_rints[n - 1]
+                u_kn = self.u_kn[:, ri]
+                Log_W_nk[:, 0:K] = np.asarray(
+                    mbar_log_W_nk(jnp.asarray(u_kn), N_k_float, jnp.asarray(f_k[0:K]))
+                )
+
+            # Per-sample mixture log-normalizer over sampled states only
+            # (Eqns 13-14 of the MBAR paper), on device.
+            sws = self.N_k > 0
+            log_denominator_n = np.asarray(
+                dev_log_denominator_n(
+                    jnp.asarray(u_kn[sws]),
+                    jnp.asarray(self.N_k[sws], dtype=np.float64),
+                    jnp.asarray(f_k[0:K][sws]),
+                )
+            )
+
+            # Extra states from u_ln.
+            for l in L_list:
+                la = K + l
+                log_C_a = -logsumexp(-u_ln[l, ri] - log_denominator_n)
+                Log_W_nk[:, la] = log_C_a - u_ln[l, ri] - log_denominator_n
+                f_k[la] = log_C_a
+
+            # Observable pseudo-states.
+            for s in range(S):
+                sa = K + NL + s
+                l = K + state_map[0, s]
+                i = state_map[1, s]
+                with np.errstate(divide="ignore"):
+                    Log_W_nk[:, sa] = np.log(A_n[i, ri]) + Log_W_nk[:, l]
+                f_k[sa] = -logsumexp(Log_W_nk[:, sa])
+                Log_W_nk[:, sa] += f_k[sa]
+
+            A_i = np.exp(-f_k[K + NL : K + NL + S])
+
+            if n == 0:
+                shifted = A_i + (
+                    A_min[state_map[1, :S]] - logfactors[state_map[1, :S]]
+                    if S > 0
+                    else 0.0
+                )
+                if S > 0:
+                    result_vals["observables"] = shifted
+                if return_theta:
+                    Theta_ij = self._computeAsymptoticCovarianceMatrix(
+                        np.exp(Log_W_nk), N_k, method=uncertainty_method
+                    )
+                result_vals["f"] = f_k[K + state_list]
+            else:
+                if S > 0:
+                    A_i_bootstrap[n - 1, :] = A_i + (
+                        A_min[state_map[1, :S]] - logfactors[state_map[1, :S]]
+                    )
+                f_bootstrap[n - 1, :] = f_k[K + state_list]
+
+        if uncertainty_method == "bootstrap":
+            result_vals["bootstrapped_observables"] = A_i_bootstrap
+            result_vals["bootstrapped_f"] = f_bootstrap
+
+        if return_theta:
+            # Reorder Theta into block form: S observable rows first, then the
+            # state_list free-energy rows (reference mbar.py:979-1000).
+            if S > 0:
+                si = K + NL + np.arange(S)
+            else:
+                si = np.zeros(0, dtype=int)
+            li = K + state_list
+            idx = np.concatenate((si, li))
+            result_vals["Theta"] = Theta_ij[np.ix_(idx, idx)]
+            if S > 0:
+                result_vals["Amin"] = (
+                    A_min[state_map[1, np.arange(S)]]
+                    - logfactors[state_map[1, np.arange(S)]]
+                )
+
+        return result_vals
+
+    def compute_covariance_of_sums(self, d_ij, K, a):
+        """Variance of weighted sums of free-energy differences.
+
+        var(sum_k a_k (f_{i,k} - f_{j,k})) assembled from the pairwise
+        standard deviations d_ij of the stacked states.  Vectorized einsum
+        replacing the reference's quadruple loop (mbar.py:1033-1121, which
+        carries a TODO to vectorize).
+        """
+        a = np.asarray(a, dtype=np.float64)
+        var_ij = np.square(np.asarray(d_ij))
+        n = len(a)
+
+        # blocks[k, l, i, j] = var_ij[i + k*K, j + l*K].  Rows/cols beyond
+        # n*K are ignored, as the reference's index loops never touch them.
+        var_ij = var_ij[: n * K, : n * K]
+        blocks = var_ij.reshape(n, K, n, K).transpose(0, 2, 1, 3)
+        # Single terms: sum_k a_k^2 var(f_i - f_j) within chunk k.
+        d2 = np.einsum("k,kkij->ij", a**2, blocks)
+        # Cross terms:
+        #   a_k a_l [-var(i_k,i_l) + var(i_k,j_l) + var(j_k,i_l) - var(j_k,j_l)]
+        diag = blocks.diagonal(axis1=2, axis2=3)  # [k, l, i] = var(i_k, i_l)
+        term = (
+            -diag[:, :, :, None]  # var(i_k, i_l), broadcast over j
+            + blocks  # var(i_k, j_l)
+            + blocks.transpose(0, 1, 3, 2)  # var(j_k, i_l)
+            - diag[:, :, None, :]  # var(j_k, j_l), broadcast over i
+        )
+        d2 += np.einsum("k,l,klij->ij", a, a, term)
+        return np.sqrt(d2)
+
+    def compute_expectations(
+        self,
+        A_n,
+        u_kn=None,
+        output="averages",
+        state_dependent=False,
+        compute_uncertainty=True,
+        uncertainty_method=None,
+        warning_cutoff=1.0e-10,
+        return_theta=False,
+    ):
+        """Expectation of one observable at all K states (reference mbar.py:1124-1312).
+
+        Result keys: 'mu', 'sigma' (if compute_uncertainty), 'Theta' (if
+        return_theta); output='differences' gives matrices instead of vectors.
+        """
+        if uncertainty_method == "bootstrap" and (
+            self.n_bootstraps is None or self.n_bootstraps <= 0
+        ):
+            raise ParameterError(
+                "Cannot request bootstrap sampling of expectations without any bootstraps."
+            )
+
+        dims = len(np.shape(A_n))
+        if dims > 2:
+            logger.warning(
+                "dim=3 for (state_dependent==True) matrices for observables "
+                "and dim=2 for (state_dependent==False) observables are "
+                "deprecated; we suggest you convert to NxK form instead of "
+                "NxKxK form."
+            )
+
+        if not state_dependent:
+            if dims == 2:
+                A_n = kn_to_n(A_n, N_k=self.N_k)
+                if u_kn is not None:
+                    if len(np.shape(u_kn)) == 3:
+                        u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+                    elif len(np.shape(u_kn)) == 2:
+                        u_kn = kn_to_n(u_kn, N_k=self.N_k)
+        else:
+            if dims == 3:
+                A_n = kln_to_kn(A_n, N_k=self.N_k)
+                if u_kn is not None:
+                    if len(np.shape(u_kn)) == 3:
+                        u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+                    elif len(np.shape(u_kn)) == 2:
+                        u_kn = kn_to_n(u_kn, N_k=self.N_k)
+
+        if u_kn is None:
+            u_kn = self.u_kn
+
+        ushape = np.shape(u_kn)
+        K = 1 if len(ushape) == 1 else ushape[0]
+
+        state_map = np.zeros([2, K], int)
+        state_map[0, :] = np.arange(K)
+        if state_dependent:
+            state_map[1, :] = np.arange(K)
+
+        inner_results = self.compute_expectations_inner(
+            A_n,
+            u_kn,
+            state_map,
+            return_theta=compute_uncertainty,
+            uncertainty_method=uncertainty_method,
+            warning_cutoff=warning_cutoff,
+        )
+
+        result_vals = dict()
+        Theta = None
+        covA_ij = None
+        if (compute_uncertainty and uncertainty_method != "bootstrap") or return_theta:
+            # Sandwich Theta with the shifted observables to get covariances
+            # of the observables themselves (reference mbar.py:1267-1281).
+            diag = np.ones(2 * K, dtype=np.float64)
+            diag[0:K] = diag[K : 2 * K] = (
+                inner_results["observables"] - inner_results["Amin"]
+            )
+            Adiag = np.diag(diag)
+            Theta = Adiag @ inner_results["Theta"] @ Adiag
+            covA_ij = np.array(
+                Theta[0:K, 0:K]
+                + Theta[K : 2 * K, K : 2 * K]
+                - Theta[0:K, K : 2 * K]
+                - Theta[K : 2 * K, 0:K]
+            )
+
+        if output == "averages":
+            result_vals["mu"] = inner_results["observables"]
+            if compute_uncertainty:
+                if uncertainty_method == "bootstrap":
+                    result_vals["sigma"] = np.std(
+                        inner_results["bootstrapped_observables"], axis=0
+                    )
+                else:
+                    result_vals["sigma"] = np.sqrt(covA_ij[0:K, 0:K].diagonal())
+
+        if output == "differences":
+            A_im = inner_results["observables"]
+            result_vals["mu"] = A_im - np.vstack(A_im)
+            if compute_uncertainty:
+                if uncertainty_method == "bootstrap":
+                    boots = inner_results["bootstrapped_observables"]
+                    bootstrap_differences = boots[:, None, :] - boots[:, :, None]
+                    result_vals["sigma"] = np.std(bootstrap_differences, axis=0)
+                else:
+                    result_vals["sigma"] = self._ErrorOfDifferences(
+                        covA_ij, warning_cutoff=warning_cutoff
+                    )
+
+        if return_theta:
+            result_vals["Theta"] = Theta
+
+        return result_vals
+
+    def compute_multiple_expectations(
+        self,
+        A_in,
+        u_n,
+        compute_uncertainty=True,
+        compute_covariance=False,
+        uncertainty_method=None,
+        warning_cutoff=1.0e-10,
+        return_theta=False,
+    ):
+        """I observables at ONE state specified by u_n (reference mbar.py:1315-1439).
+
+        Result keys: 'mu', 'sigma', 'covariances', 'Theta' as requested.
+        """
+        A_in = np.asarray(A_in)
+        I = A_in.shape[0]
+
+        if len(np.shape(A_in)) == 3:
+            A_in_old = A_in.copy()
+            A_in = np.zeros([I, self.N], np.float64)
+            for i in range(I):
+                A_in[i, :] = kn_to_n(A_in_old[i, :, :], N_k=self.N_k)
+
+        if len(np.shape(u_n)) == 2:
+            u_n = kn_to_n(u_n, N_k=self.N_k)
+
+        state_map = np.zeros([2, I], int)
+        state_map[1, :] = np.arange(I)
+
+        inner_results = self.compute_expectations_inner(
+            A_in,
+            u_n,
+            state_map,
+            return_theta=(compute_uncertainty or compute_covariance),
+            uncertainty_method=uncertainty_method,
+            warning_cutoff=warning_cutoff,
+        )
+        result_vals = dict()
+        result_vals["mu"] = inner_results["observables"]
+
+        if (
+            (compute_uncertainty or compute_covariance)
+            and compute_uncertainty != "bootstrap"
+        ) or return_theta:
+            diag = np.ones(2 * I, dtype=np.float64)
+            diag[0:I] = diag[I : 2 * I] = (
+                inner_results["observables"] - inner_results["Amin"]
+            )
+            Adiag = np.diag(diag)
+            Theta = Adiag @ inner_results["Theta"] @ Adiag
+
+            if compute_uncertainty:
+                covA_ij = np.array(
+                    Theta[0:I, 0:I]
+                    + Theta[I : 2 * I, I : 2 * I]
+                    - Theta[0:I, I : 2 * I]
+                    - Theta[I : 2 * I, 0:I]
+                )
+                result_vals["sigma"] = np.sqrt(covA_ij[0:I, 0:I].diagonal())
+
+            if compute_covariance:
+                result_vals["covariances"] = inner_results["Theta"][0:I, 0:I]
+
+            if return_theta:
+                result_vals["Theta"] = Theta
+
+        if uncertainty_method == "bootstrap":
+            if compute_uncertainty:
+                result_vals["sigma"] = np.std(
+                    inner_results["bootstrapped_observables"], axis=0
+                )
+            if compute_covariance:
+                result_vals["covariances"] = np.cov(
+                    inner_results["bootstrapped_observables"].T
+                )
+        return result_vals
+
+    def compute_perturbed_free_energies(
+        self,
+        u_ln,
+        compute_uncertainty=True,
+        uncertainty_method=None,
+        warning_cutoff=1.0e-10,
+    ):
+        """Free energies of L new states from u_ln (reference mbar.py:1442-1520).
+
+        Result keys: 'Delta_f', 'dDelta_f'.
+        """
+        if len(np.shape(u_ln)) == 3:
+            u_ln = kln_to_kn(u_ln, N_k=self.N_k)
+
+        u_ln = np.asarray(u_ln)
+        L, N = u_ln.shape
+
+        if N < self.N:
+            raise DataError(
+                "There seems to be too few samples in u_kn. You must evaluate "
+                "at the new potential with all of the samples used originally."
+            )
+
+        state_list = np.arange(L)
+        A_in = np.array([0])
+        inner_results = self.compute_expectations_inner(
+            A_in,
+            u_ln,
+            state_list,
+            return_theta=compute_uncertainty,
+            uncertainty_method=uncertainty_method,
+            warning_cutoff=warning_cutoff,
+        )
+
+        f_k = inner_results["f"]
+        result_vals = dict()
+        result_vals["Delta_f"] = f_k - np.vstack(f_k)
+
+        if compute_uncertainty:
+            if uncertainty_method == "bootstrap":
+                result_vals["dDelta_f"] = np.std(inner_results["bootstrapped_f"], axis=0)
+            else:
+                result_vals["dDelta_f"] = self._ErrorOfDifferences(
+                    inner_results["Theta"], warning_cutoff=warning_cutoff
+                )
+
+        return result_vals
+
+    def compute_entropy_and_enthalpy(
+        self, u_kn=None, uncertainty_method=None, verbose=False, warning_cutoff=1.0e-10
+    ):
+        """Decompose Delta f into Delta u and Delta s with full covariance.
+
+        Reference mbar.py:1524-1681.  Result keys: Delta_f/dDelta_f,
+        Delta_u/dDelta_u, Delta_s/dDelta_s.
+        """
+        if verbose:
+            logger.info("Computing average energy and entropy by MBAR.")
+
+        dims = len(np.shape(u_kn))
+        if dims == 3:
+            u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+        if u_kn is None:
+            u_kn = self.u_kn
+
+        K, N = np.shape(u_kn)
+        A_in = np.array(u_kn, copy=True)
+        state_map = np.zeros([2, K], int)
+        state_map[0, :] = np.arange(K)
+        state_map[1, :] = np.arange(K)
+
+        inner_results = self.compute_expectations_inner(
+            A_in,
+            u_kn,
+            state_map,
+            return_theta=True,
+            uncertainty_method=uncertainty_method,
+            warning_cutoff=warning_cutoff,
+        )
+
+        # Assemble the 3K x 3K covariance: [observables, f-sampled, f-copy]
+        # blocks, sandwiched by the observable shifts (reference :1600-1610).
+        Theta = np.zeros([3 * K, 3 * K], dtype=np.float64)
+        Theta[0 : 2 * K, 0 : 2 * K] = inner_results["Theta"]
+        Theta[2 * K : 3 * K, :] = Theta[K : 2 * K, :]
+        Theta[:, 2 * K : 3 * K] = Theta[:, K : 2 * K]
+        diag = np.ones(3 * K, dtype=np.float64)
+        diag[0:K] = diag[K : 2 * K] = (
+            inner_results["observables"] - inner_results["Amin"]
+        )
+        Adiag = np.diag(diag)
+        Theta = Adiag @ Theta @ Adiag
+
+        result_vals = dict()
+        f_k = inner_results["f"]
+        result_vals["Delta_f"] = f_k - np.vstack(f_k)
+        u_k = inner_results["observables"]
+        result_vals["Delta_u"] = u_k - np.vstack(u_k)
+        s_k = u_k - f_k
+        result_vals["Delta_s"] = s_k - np.vstack(s_k)
+
+        if uncertainty_method == "bootstrap":
+            fb = self.f_k_boots
+            diffm = fb[:, None, :] - fb[:, :, None]
+            result_vals["dDelta_f"] = np.std(diffm, axis=0)
+
+            ub = inner_results["bootstrapped_observables"]
+            diffm = ub[:, None, :] - ub[:, :, None]
+            result_vals["dDelta_u"] = np.std(diffm, axis=0)
+
+            sb = ub - fb
+            diffm = sb[:, None, :] - sb[:, :, None]
+            result_vals["dDelta_s"] = np.std(diffm, axis=0)
+        else:
+            covf = Theta[2 * K : 3 * K, 2 * K : 3 * K]
+            result_vals["dDelta_f"] = self._ErrorOfDifferences(
+                covf, warning_cutoff=warning_cutoff
+            )
+
+            covu = (
+                Theta[0:K, 0:K]
+                + Theta[K : 2 * K, K : 2 * K]
+                - Theta[0:K, K : 2 * K]
+                - Theta[K : 2 * K, 0:K]
+            )
+            result_vals["dDelta_u"] = self._ErrorOfDifferences(
+                covu, warning_cutoff=warning_cutoff
+            )
+
+            covs = (
+                covu
+                + covf
+                + Theta[0:K, 2 * K : 3 * K]
+                + Theta[2 * K : 3 * K, 0:K]
+                - Theta[K : 2 * K, 2 * K : 3 * K]
+                - Theta[2 * K : 3 * K, K : 2 * K]
+            )
+            result_vals["dDelta_s"] = self._ErrorOfDifferences(
+                covs, warning_cutoff=warning_cutoff
+            )
+
+        return result_vals
+
+    # -------------------------------------------------------------------------
+    # Private helpers
+    # -------------------------------------------------------------------------
+
+    def _ErrorOfDifferences(self, cov, warning_cutoff=1.0e-10):
+        """sigma_ij = sqrt(Theta_ii + Theta_jj - 2 Theta_ij), clamping tiny
+        negatives and warning on large ones (reference mbar.py:1687-1715)."""
+        diag = cov.diagonal()
+        d2 = diag + np.vstack(diag) - 2 * cov
+
+        cutoff = -abs(warning_cutoff)
+        if np.any(d2 < 0.0):
+            if np.any(d2 < cutoff):
+                logger.warning(
+                    "A squared uncertainty is negative. Largest Magnitude = "
+                    "{0:f}".format(abs(np.min(d2[d2 < cutoff])))
+                )
+            else:
+                d2[np.logical_and(0 > d2, d2 > cutoff)] = 0.0
+        return np.sqrt(np.array(d2))
+
+    def _pseudoinverse(self, A, tol=1.0e-10):
+        """Moore-Penrose pseudoinverse with rcond=tol (reference mbar.py:1717-1735)."""
+        return np.linalg.pinv(A, rcond=tol)
+
+    def _zerosamestates(self, A):
+        """Zero entries for state pairs detected as identical (reference :1741-1754)."""
+        for pair in self.samestates:
+            A[pair[0], pair[1]] = 0
+            A[pair[1], pair[0]] = 0
+
+    def _computeAsymptoticCovarianceMatrix(self, W, N_k, method=None):
+        """Asymptotic covariance Theta of the log normalization constants.
+
+        Methods (reference mbar.py:1756-1864):
+
+        * 'approximate' — Theta = W^T W (Kong 2003 §4; underestimates)
+        * 'svd'         — Eq. D4 via SVD of W
+        * 'svd-ew'      — Eq. D4/D5 via eigh(W^T W) (default, fastest)
+
+        The K×K Gram, eigendecomposition and pseudoinverse run on device; W is
+        streamed through the matmul without forming any additional N×K temps.
+        """
+        if method is None or method == "bootstrap":
+            method = "svd-ew"
+
+        W = np.asarray(W)
+        N, K = W.shape
+        N_k = np.asarray(N_k)
+
+        if K != N_k.size:
+            raise ParameterError("W must be NxK, where N_k is a K-dimensional array.")
+        if np.sum(N_k) != N:
+            raise ParameterError("W must be NxK, where N = sum_k N_k.")
+
+        check_w_normalized(W, N_k)
+
+        if method == "approximate":
+            W_dev = jnp.asarray(W)
+            Theta = np.asarray(jnp.dot(W_dev.T, W_dev))
+        elif method == "svd":
+            Ndiag = np.diag(N_k.astype(np.float64))
+            I = np.identity(K, dtype=np.float64)
+            U, S, Vt = np.linalg.svd(W, full_matrices=False)
+            Sigma = np.diag(S)
+            V = Vt.T
+            Theta = (
+                V
+                @ Sigma
+                @ self._pseudoinverse(I - Sigma @ V.T @ Ndiag @ V @ Sigma)
+                @ Sigma
+                @ V.T
+            )
+        elif method == "svd-ew":
+            W_dev = jnp.asarray(W)
+            gram = jnp.dot(W_dev.T, W_dev)
+            S2, V = jnp.linalg.eigh(gram)
+            S2 = jnp.where(S2 < 0.0, 0.0, S2)
+            Sigma_diag = jnp.sqrt(S2)
+            N_dev = jnp.asarray(N_k, dtype=W_dev.dtype)
+            I = jnp.eye(K, dtype=W_dev.dtype)
+            # inner = I - Sigma V^T diag(N) V Sigma, built with diagonal scaling
+            # instead of dense diag matmuls.
+            VS = V * Sigma_diag[None, :]  # V @ Sigma
+            inner = I - VS.T @ (N_dev[:, None] * VS)
+            inner_pinv = jnp.linalg.pinv(inner, rcond=1.0e-10)
+            Theta = np.asarray(VS @ inner_pinv @ VS.T)
+        else:
+            raise ParameterError(f"Method {method} unrecognized.")
+
+        return Theta
+
+    def _initializeFreeEnergies(self, verbose=False, method="zeros", f_k_init=None):
+        """Initial f_k guess: zeros / mean-reduced-potential / BAR chain
+        (reference mbar.py:1868-1917)."""
+        if method == "zeros":
+            if verbose:
+                logger.info("Initializing free energies to zero.")
+            self.f_k[:] = 0.0
+        elif method == "mean-reduced-potential":
+            if verbose:
+                logger.info(
+                    "Initializing free energies with mean reduced potential "
+                    "for each state."
+                )
+            means = np.zeros(self.K, float)
+            for k in self.states_with_samples:
+                means[k] = self.u_kn[k, 0 : self.N_k[k]].mean()
+            if np.max(np.abs(means)) < 0.000001:
+                logger.warning(
+                    "Warning: All mean reduced potentials are close to zero. "
+                    "If you are using energy differences in the u_kln matrix, "
+                    "then the mean reduced potentials will be zero, and this "
+                    "is expected behavior."
+                )
+            self.f_k = means
+        elif method == "BAR":
+            self.f_k = self._initialize_with_bar(self.u_kn, f_k_init)
+        else:
+            raise ParameterError("Method " + method + " unrecognized.")
+
+        self.f_k[:] = self.f_k[:] - self.f_k[0]
+
+    def _computeUnnormalizedLogWeights(self, u_n):
+        """log w_n for a target potential u_n:
+        -logsumexp_k[f_k + u_n - u_kn] weighted by N_k (reference mbar.py:1919-1934).
+        Runs as one device reduction over the K×N matrix.
+        """
+        a = (
+            jnp.asarray(self.f_k)[:, None]
+            + jnp.asarray(u_n)[None, :]
+            - jnp.asarray(self.u_kn)
+        )
+        return np.asarray(
+            -dev_logsumexp(a, axis=0, b=jnp.asarray(self.N_k, dtype=np.float64)[:, None])
+        )
+
+    def _initialize_with_bar(self, u_kn, f_k_init=None):
+        """Chain pairwise BAR along adjacent sampled states (reference :1936-1988)."""
+        from pymbar_tpu.other_estimators import bar
+        from pymbar_tpu.utils import ConvergenceError
+
+        initialization_order = np.where(self.N_k > 0)[0]
+        if f_k_init is None:
+            f_k_init = np.zeros(len(self.f_k))
+        else:
+            f_k_init = np.array(f_k_init, dtype=np.float64, copy=True)
+
+        starting_f_k_init = f_k_init.copy()
+        for index in range(np.size(initialization_order) - 1):
+            k = initialization_order[index]
+            l = initialization_order[index + 1]
+            w_F = u_kn[l, self.x_kindices == k] - u_kn[k, self.x_kindices == k]
+            w_R = u_kn[k, self.x_kindices == l] - u_kn[l, self.x_kindices == l]
+
+            if len(w_F) > 0 and len(w_R) > 0:
+                try:
+                    f_k_init[l] = (
+                        f_k_init[k]
+                        + bar(
+                            w_F,
+                            w_R,
+                            method="bisection",
+                            DeltaF=starting_f_k_init[l] - starting_f_k_init[k],
+                            relative_tolerance=0.00001,
+                            verbose=False,
+                            maximum_iterations=100,
+                            compute_uncertainty=False,
+                        )["Delta_f"]
+                    )
+                except ConvergenceError:
+                    logger.warning("WARNING: BAR did not converge to within tolerance")
+                    f_k_init[l] = f_k_init[k]
+            else:
+                f_k_init[l] = 0
+
+        return f_k_init

@@ -1,0 +1,215 @@
+"""Core MBAR numerics as pure jit-compiled functions of (u_kn, N_k, f_k).
+
+Capability parity with the reference solver primitives
+(/root/reference/pymbar/mbar_solvers.py:174-507, :697-735):
+
+* ``self_consistent_update``  — Eq. C3 of Shirts & Chodera JCP 129:124105
+* ``mbar_gradient``           — Eq. C6
+* ``mbar_objective``          — the convex MBAR objective (Eq. C1 family)
+* ``mbar_hessian``            — Eq. C9
+* ``mbar_log_W_nk``/``mbar_W_nk`` — Eq. 9 weights
+* ``precondition_u_kn``       — per-sample shift that zeroes the objective
+
+TPU-first design notes
+----------------------
+Everything is expressed as two reusable fused reductions over the K×N
+reduced-potential matrix:
+
+* ``log_denominator_n = logsumexp_k(f_k + log-weights N_k - u_kn)``  (per-sample)
+* ``log_numerator_k   = logsumexp_n(-log_denominator_n - u_kn)``     (per-state)
+
+so one pass of HBM traffic yields the self-consistent update, the gradient
+and the objective simultaneously (the reference recomputes the denominator
+separately in each wrapper).  The Hessian is produced in Gram form
+(W^T W, K×K, MXU matmul) without transposing u_kn.  All functions are pure
+and shard-transparent: when u_kn arrives sharded along n, XLA inserts the
+psum/all-reduce for the per-state reductions automatically under pjit (see
+pymbar_tpu.parallel).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymbar_tpu.utils import ensure_type
+
+__all__ = [
+    "validate_inputs",
+    "log_denominator_n",
+    "core_stats",
+    "self_consistent_update",
+    "mbar_gradient",
+    "mbar_objective",
+    "mbar_objective_and_gradient",
+    "mbar_hessian",
+    "mbar_log_W_nk",
+    "mbar_W_nk",
+    "mbar_w_nk_gram",
+    "precondition_u_kn",
+]
+
+
+def validate_inputs(u_kn, N_k, f_k):
+    """Host-side shape/dtype validation (reference mbar_solvers.py:174-203).
+
+    Returns (u_kn, N_k, f_k) with N_k cast to float (it enters log-space
+    weights immediately downstream).
+    """
+    n_states, n_samples = u_kn.shape
+    u_kn = ensure_type(u_kn, "float", 2, "u_kn or Q_kn", shape=(n_states, n_samples))
+    N_k = ensure_type(N_k, "float", 1, "N_k", shape=(n_states,), warn_on_cast=False)
+    f_k = ensure_type(f_k, "float", 1, "f_k", shape=(n_states,))
+    return u_kn, N_k, f_k
+
+
+# -----------------------------------------------------------------------------
+# Fused reductions
+# -----------------------------------------------------------------------------
+
+
+def log_denominator_n(u_kn, N_k, f_k):
+    """Per-sample mixture log-normalizer: logsumexp_k[f_k - u_kn] with weights N_k.
+
+    Shapes: u_kn (K, N); N_k, f_k (K,).  Returns (N,).
+
+    Empty states (N_k == 0) drop out exactly.  Reduction runs along the K
+    (leading) axis so the large N axis stays the vectorized minor dimension
+    on TPU and no K×N transpose is ever formed (the reference transposes:
+    mbar_solvers.py:241).
+    """
+    a = f_k[:, None] - u_kn  # (K, N)
+    a_max = jnp.max(a, axis=0)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    s = jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)
+    return jnp.log(s) + a_max
+
+
+def _log_numerator_k(u_kn, logden_n):
+    """Per-state reweighted log-sum: logsumexp_n[-logden_n - u_kn].  Returns (K,)."""
+    a = -logden_n[None, :] - u_kn  # (K, N)
+    a_max = jnp.max(a, axis=1)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    s = jnp.sum(jnp.exp(a - a_max[:, None]), axis=1)
+    return jnp.log(s) + a_max
+
+
+@jax.jit
+def core_stats(u_kn, N_k, f_k):
+    """One fused pass producing (objective, gradient, f_sci).
+
+    obj   = sum_n logden_n - N_k . f_k
+    grad  = -N_k (1 - exp(f_k + lognum_k))          [Eq. C6]
+    f_sci = -lognum_k                                [Eq. C3]
+
+    The reference computes these in three separate kernels, re-deriving
+    log_denominator_n each time (mbar_solvers.py:231-355); here the K×N
+    matrix is read twice total.
+    """
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    lognum = _log_numerator_k(u_kn, logden)
+    obj = jnp.sum(logden) - jnp.dot(N_k, f_k)
+    grad = -N_k * (1.0 - jnp.exp(f_k + lognum))
+    f_sci = -lognum
+    return obj, grad, f_sci
+
+
+# -----------------------------------------------------------------------------
+# Reference-parity wrappers
+# -----------------------------------------------------------------------------
+
+
+@jax.jit
+def _jit_self_consistent_update(u_kn, N_k, f_k):
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    return -_log_numerator_k(u_kn, logden)
+
+
+def self_consistent_update(u_kn, N_k, f_k, states_with_samples=None):
+    """Improved f_k guess via Eq. C3 (reference mbar_solvers.py:206-257).
+
+    Only states in ``states_with_samples`` feed the denominator when given
+    (slicing happens host-side exactly as in the reference, which cannot jit
+    the slice either).
+    """
+    if states_with_samples is not None:
+        u_kn = u_kn[states_with_samples]
+        N_k = N_k[states_with_samples]
+        f_k = f_k[states_with_samples]
+    return _jit_self_consistent_update(
+        jnp.asarray(u_kn), jnp.asarray(N_k, dtype=u_kn.dtype), jnp.asarray(f_k)
+    )
+
+
+@jax.jit
+def mbar_gradient(u_kn, N_k, f_k):
+    """Gradient of the MBAR objective, Eq. C6 (reference mbar_solvers.py:260-292)."""
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    lognum = _log_numerator_k(u_kn, logden)
+    return -N_k * (1.0 - jnp.exp(f_k + lognum))
+
+
+@jax.jit
+def mbar_objective(u_kn, N_k, f_k):
+    """MBAR objective (reference mbar_solvers.py:295-339)."""
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    return jnp.sum(logden) - jnp.dot(N_k, f_k)
+
+
+@jax.jit
+def mbar_objective_and_gradient(u_kn, N_k, f_k):
+    """Fused objective+gradient (reference mbar_solvers.py:341-392)."""
+    obj, grad, _ = core_stats(u_kn, N_k, f_k)
+    return obj, grad
+
+
+@jax.jit
+def mbar_w_nk_gram(u_kn, N_k, f_k):
+    """(W^T W, colsum W) without materializing W in (N, K) layout.
+
+    W[n, k] = exp(f_k - u_kn[k, n] - logden_n).  We form G = W W^T over the
+    (K, N) layout directly — a K×K MXU matmul — plus the per-state weight
+    sums.  These are the only two aggregates the Hessian (Eq. C9) and the
+    svd-ew covariance need, so the N×K weight matrix never exists in memory.
+    """
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    logw_kn = f_k[:, None] - u_kn - logden[None, :]
+    w_kn = jnp.exp(logw_kn)
+    gram = jnp.dot(w_kn, w_kn.T, preferred_element_type=w_kn.dtype)
+    colsum = jnp.sum(w_kn, axis=1)
+    return gram, colsum
+
+
+@jax.jit
+def mbar_hessian(u_kn, N_k, f_k):
+    """Hessian of the MBAR objective, Eq. C9 (reference mbar_solvers.py:395-436)."""
+    gram, colsum = mbar_w_nk_gram(u_kn, N_k, f_k)
+    H = gram * N_k[None, :] * N_k[:, None]
+    H -= jnp.diag(colsum * N_k)
+    return -H
+
+
+@jax.jit
+def mbar_log_W_nk(u_kn, N_k, f_k):
+    """Normalized log-weights, Eq. 9, in (N, K) layout (reference :439-476)."""
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    return (f_k[:, None] - u_kn - logden[None, :]).T
+
+
+@jax.jit
+def mbar_W_nk(u_kn, N_k, f_k):
+    """Normalized weights, Eq. 9 (reference mbar_solvers.py:479-507)."""
+    return jnp.exp(mbar_log_W_nk(u_kn, N_k, f_k))
+
+
+@jax.jit
+def precondition_u_kn(u_kn, N_k, f_k):
+    """Shift u_kn per-sample so the objective is ~0 (reference :697-735).
+
+    u_kn <- u_kn - min_k u_kn, then add logden_n - (N_k.f_k)/N so the current
+    objective value is exactly zero; derivatives are invariant.
+    """
+    u_kn = u_kn - jnp.min(u_kn, axis=0)[None, :]
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    return u_kn + (logden - jnp.dot(N_k, f_k) / jnp.sum(N_k))[None, :]

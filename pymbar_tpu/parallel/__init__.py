@@ -1,0 +1,24 @@
+"""Multi-chip scale-out: sample-axis (N) sharding over a jax.sharding.Mesh.
+
+The reference is single-process/single-device (see SURVEY.md §2.8); this
+package is the NEW TPU-native scaling layer: u_kn sharded along n across
+devices, logsumexp/Gram reductions finished with psum over ICI.
+"""
+
+from pymbar_tpu.parallel.sharding import (
+    default_mesh,
+    shard_u_kn,
+    sharded_core_stats,
+    sharded_gram,
+    sharded_log_denominator,
+    sharded_solve_mbar,
+)
+
+__all__ = [
+    "default_mesh",
+    "shard_u_kn",
+    "sharded_core_stats",
+    "sharded_gram",
+    "sharded_log_denominator",
+    "sharded_solve_mbar",
+]

@@ -1,0 +1,411 @@
+"""Statistical tests of the MBAR estimator against analytically solvable systems.
+
+Coverage model: reference pymbar/tests/test_mbar.py (545 LoC) — free energies
+under every uncertainty method, every initialization, expectations in all
+layouts, entropy/enthalpy, overlap, effective sample numbers, perturbed free
+energies, bootstrap determinism.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from helpers import N_K, PRECISION, Z_SCALE, assert_zscore_ok, make_exp, make_ho, zscore_differences
+from pymbar_tpu import MBAR
+from pymbar_tpu.utils import ParameterError
+
+SYSTEMS = {"harmonic": make_ho, "exponential": make_exp}
+
+
+@pytest.fixture(scope="module", params=list(SYSTEMS))
+def bundle(request):
+    """Module-scoped MBAR over each generator, with bootstraps for the
+    bootstrap-uncertainty tests (reference test_mbar.py:44-51)."""
+    test = SYSTEMS[request.param]()
+    x_n, u_kn, N_k_out, s_n = test.sample(N_K, mode="u_kn")
+    np.testing.assert_array_equal(N_K, N_k_out)
+    mbar = MBAR(u_kn, N_K, verbose=True, n_bootstraps=200)
+    return dict(mbar=mbar, test=test, x_n=x_n, u_kn=u_kn)
+
+
+@pytest.fixture(scope="module")
+def bundle_ho():
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample(N_K, mode="u_kn")
+    mbar = MBAR(u_kn, N_K, verbose=True)
+    return dict(mbar=mbar, test=test, x_n=x_n, u_kn=u_kn)
+
+
+@pytest.fixture(scope="module")
+def bundle_kln():
+    test = make_ho()
+    x_kn, u_kln, N_k_out = test.sample(N_K, mode="u_kln")
+    mbar = MBAR(u_kln, N_K, verbose=True)
+    return dict(mbar=mbar, test=test, x_n=x_kn, u_kn=u_kln)
+
+
+@pytest.fixture()
+def fresh_ho_u_kn():
+    return make_ho().sample(N_K, mode="u_kn")[1]
+
+
+def check_fe_against_analytic(results, test):
+    fe = results["Delta_f"][0, 1:]
+    dfe = results["dDelta_f"][0, 1:]
+    fa = test.analytical_free_energies()
+    assert_zscore_ok(fe, fa[1:] - fa[0], dfe)
+
+
+# -----------------------------------------------------------------------------
+# Test systems themselves
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("system", list(SYSTEMS))
+def test_analytical_properties_available(system):
+    test = SYSTEMS[system]()
+    test.analytical_means()
+    test.analytical_variances()
+    test.analytical_free_energies()
+    test.analytical_entropies()
+    for obs in ["position", "position^2", "RMS displacement", "potential energy"]:
+        test.analytical_observable(observable=obs)
+
+
+@pytest.mark.parametrize("system", list(SYSTEMS))
+@pytest.mark.parametrize(
+    "counts", [[5, 6, 7, 8], [5, 5, 5, 5], [1, 1, 1, 1], [10, 0, 8, 0]]
+)
+def test_sampling_modes(system, counts):
+    test = SYSTEMS[system]()
+    x_n, u_kn, N_k, s_n = test.sample(counts, mode="u_kn")
+    assert u_kn.shape == (4, int(np.sum(counts)))
+    x_kn, u_kln, N_k = test.sample(counts, mode="u_kln")
+    assert u_kln.shape == (4, 4, int(np.max(counts)))
+
+
+# -----------------------------------------------------------------------------
+# Free energies
+# -----------------------------------------------------------------------------
+
+
+def test_ukln_input_layout(bundle_kln):
+    """The (K, L, N_max) input layout must reproduce analytic free energies."""
+    results = bundle_kln["mbar"].compute_free_energy_differences()
+    check_fe_against_analytic(results, bundle_kln["test"])
+
+
+@pytest.mark.parametrize(
+    "uncertainty_method",
+    [
+        None,
+        "approximate",
+        "svd",
+        "svd-ew",
+        "bootstrap",
+        pytest.param("waffles", marks=pytest.mark.xfail),
+    ],
+)
+def test_free_energies(bundle, uncertainty_method):
+    results = bundle["mbar"].compute_free_energy_differences(
+        return_theta=True, uncertainty_method=uncertainty_method
+    )
+    check_fe_against_analytic(results, bundle["test"])
+
+
+@pytest.mark.parametrize(
+    "method",
+    [
+        "zeros",
+        "mean-reduced-potential",
+        "BAR",
+        pytest.param("waffles", marks=pytest.mark.xfail),
+    ],
+)
+def test_initialization_methods(fresh_ho_u_kn, method):
+    mbar = MBAR(fresh_ho_u_kn, N_K, initialize=method, verbose=True)
+    check_fe_against_analytic(mbar.compute_free_energy_differences(), make_ho())
+
+
+@pytest.mark.xfail(strict=True)
+@pytest.mark.parametrize("n_bootstrap", [None, -4, 0, 100.3])
+def test_bad_bootstrap_counts(fresh_ho_u_kn, n_bootstrap):
+    mbar = MBAR(fresh_ho_u_kn, N_K, verbose=True, n_bootstraps=n_bootstrap)
+    mbar.compute_free_energy_differences(uncertainty_method="bootstrap")
+
+
+@pytest.mark.xfail(raises=ParameterError)
+def test_bad_initial_f_k(fresh_ho_u_kn):
+    MBAR(fresh_ho_u_kn, N_K, initial_f_k=[0] * (N_K.size + 1))
+
+
+def test_duplicate_state_detection(fresh_ho_u_kn, caplog):
+    u_dup = np.append(fresh_ho_u_kn, fresh_ho_u_kn[[0], :], axis=0)
+    N_dup = np.append(N_K, [0])
+    mbar = MBAR(u_dup, N_dup, verbose=True)
+    assert "likely to to be the same thermodynamic state" in caplog.text
+    fe = mbar.compute_free_energy_differences()["Delta_f"]
+    assert np.allclose(fe[0], fe[-1])
+
+
+def test_x_kindices_equivalence(fresh_ho_u_kn):
+    flat = np.concatenate([[k] * n for k, n in enumerate(N_K)]).astype(int)
+    fe_default = MBAR(fresh_ho_u_kn, N_K).compute_free_energy_differences()["Delta_f"]
+    fe_explicit = MBAR(fresh_ho_u_kn, N_K, x_kindices=flat).compute_free_energy_differences()[
+        "Delta_f"
+    ]
+    assert np.allclose(fe_default, fe_explicit)
+
+
+# -----------------------------------------------------------------------------
+# Expectations
+# -----------------------------------------------------------------------------
+
+
+def test_expectations_position(bundle):
+    results = bundle["mbar"].compute_expectations(bundle["x_n"])
+    assert_zscore_ok(
+        results["mu"],
+        bundle["test"].analytical_observable("position"),
+        results["sigma"],
+    )
+
+
+def test_expectations_position_differences(bundle):
+    results = bundle["mbar"].compute_expectations(bundle["x_n"], output="differences")
+    z = zscore_differences(
+        results["mu"], results["sigma"], bundle["test"].analytical_observable("position")
+    )
+    assert_almost_equal(z / Z_SCALE, np.zeros(np.shape(z)), decimal=0)
+
+
+def test_expectations_position_squared(bundle):
+    results = bundle["mbar"].compute_expectations(bundle["x_n"] ** 2)
+    assert_zscore_ok(
+        results["mu"],
+        bundle["test"].analytical_observable("position^2"),
+        results["sigma"],
+    )
+
+
+def test_expectations_potential(bundle):
+    results = bundle["mbar"].compute_expectations(bundle["u_kn"], state_dependent=True)
+    assert_zscore_ok(
+        results["mu"],
+        bundle["test"].analytical_observable("potential energy"),
+        results["sigma"],
+    )
+
+
+@pytest.mark.parametrize(
+    "observable,state_dependent,sample_mode,single_dim,with_uxx",
+    [
+        ("position", False, "u_kln", False, False),
+        ("position", False, "u_kln", False, True),
+        ("position", False, "u_kn", False, False),
+        ("position", False, "u_kn", False, True),
+        ("position", False, "u_kn", True, False),
+        ("potential energy", True, "u_kln", False, False),
+        ("potential energy", True, "u_kln", False, True),
+        ("potential energy", True, "u_kn", False, False),
+        ("potential energy", True, "u_kn", False, True),
+        ("potential energy", True, "u_kn", True, False),
+    ],
+)
+def test_expectations_layout_matrix(
+    bundle_ho, bundle_kln, observable, state_dependent, sample_mode, single_dim, with_uxx
+):
+    """Layout edge matrix: u_kln/u_kn/1-D inputs, state-(in)dependent observables."""
+    payload = bundle_kln if sample_mode == "u_kln" else bundle_ho
+    mbar, test = payload["mbar"], payload["test"]
+    u_xxx = payload["u_kn"]
+    obs = payload["u_kn"] if state_dependent else payload["x_n"]
+    if single_dim:
+        u_xxx = u_xxx[0]
+    results = mbar.compute_expectations(
+        obs,
+        state_dependent=state_dependent,
+        u_kn=u_xxx if with_uxx else None,
+        return_theta=True,
+    )
+    assert_zscore_ok(
+        results["mu"], test.analytical_observable(observable), results["sigma"]
+    )
+
+
+def test_multiple_expectations(bundle):
+    mbar, test, x_n, u_kn = (
+        bundle["mbar"],
+        bundle["test"],
+        bundle["x_n"],
+        bundle["u_kn"],
+    )
+    A = np.vstack([x_n, x_n**2])
+    state = 1
+    results = mbar.compute_multiple_expectations(A, u_kn[state, :])
+    assert_zscore_ok(
+        results["mu"][0],
+        test.analytical_observable("position")[state],
+        results["sigma"][0],
+    )
+    assert_zscore_ok(
+        results["mu"][1],
+        test.analytical_observable("position^2")[state],
+        results["sigma"][1],
+    )
+
+
+def test_multiple_expectations_3d(bundle_kln):
+    mbar, test, x_kn, u_kln = (
+        bundle_kln["mbar"],
+        bundle_kln["test"],
+        bundle_kln["x_n"],
+        bundle_kln["u_kn"],
+    )
+    A = np.stack([x_kn, x_kn**2])
+    state = 1
+    results = mbar.compute_multiple_expectations(
+        A, u_kln[:, state, :], compute_covariance=True, return_theta=True
+    )
+    assert "covariances" in results
+    assert_zscore_ok(
+        results["mu"][0],
+        test.analytical_observable("position")[state],
+        results["sigma"][0],
+    )
+
+
+def test_expectations_inner_runs(bundle):
+    x_n, u_kn = bundle["x_n"], bundle["u_kn"]
+    A_in = np.array([x_n, x_n**2, x_n**3])
+    state_map = np.array([[0, 0], [1, 0], [2, 0], [2, 1]], int)
+    bundle["mbar"].compute_expectations_inner(A_in, u_kn[:2, :], state_map)
+
+
+# -----------------------------------------------------------------------------
+# Entropy / enthalpy
+# -----------------------------------------------------------------------------
+
+
+def _check_entropy_enthalpy(payload, with_uxx=True):
+    mbar, test, u_kn = payload["mbar"], payload["test"], payload["u_kn"]
+    results = mbar.compute_entropy_and_enthalpy(u_kn if with_uxx else None, verbose=True)
+
+    for key, analytic in [
+        ("f", test.analytical_free_energies()),
+        ("u", test.analytical_observable("potential energy")),
+        ("s", test.analytical_entropies()),
+    ]:
+        z = zscore_differences(
+            results[f"Delta_{key}"], results[f"dDelta_{key}"], analytic
+        )
+        assert_almost_equal(z / Z_SCALE, np.zeros(np.shape(z)), decimal=0)
+
+
+def test_entropy_and_enthalpy(bundle):
+    _check_entropy_enthalpy(bundle, with_uxx=True)
+
+
+@pytest.mark.parametrize("as_kln,with_uxx", [(True, True), (True, False), (False, False)])
+def test_entropy_and_enthalpy_edges(bundle_ho, bundle_kln, as_kln, with_uxx):
+    _check_entropy_enthalpy(bundle_kln if as_kln else bundle_ho, with_uxx=with_uxx)
+
+
+# -----------------------------------------------------------------------------
+# Diagnostics
+# -----------------------------------------------------------------------------
+
+
+def test_effective_sample_number_bounds(bundle):
+    N_eff = bundle["mbar"].compute_effective_sample_number()
+    assert all(N_eff > N_K)
+    assert all(N_eff < np.sum(N_K))
+
+
+def test_overlap_identical_states_analytic():
+    """K identical states must give O = ones/K, eigenvalues (1, 0, ..., 0)."""
+    d = len(N_K)
+    test = make_ho(O_k=2.0 * np.ones(d), K_k=0.5 * np.ones(d))
+    x_n, u_kn, _, _ = test.sample(100 * np.ones(d, dtype=int), mode="u_kn")
+    mbar = MBAR(u_kn, 100 * np.ones(d, dtype=int))
+
+    results = mbar.compute_overlap()
+    assert_almost_equal(results["matrix"], np.ones([d, d]) / d, decimal=PRECISION)
+    ref_eig = np.zeros(d)
+    ref_eig[0] = 1.0
+    assert_almost_equal(np.real(results["eigenvalues"]), ref_eig, decimal=PRECISION)
+    assert_almost_equal(np.real(results["scalar"]), 1.0, decimal=PRECISION)
+
+
+def test_overlap_stochastic(bundle):
+    results = bundle["mbar"].compute_overlap()
+    assert isinstance(float(np.real(results["scalar"])), float)
+    sumrows = np.sum(results["matrix"], axis=1)
+    assert_almost_equal(sumrows, np.ones(np.shape(sumrows)), decimal=PRECISION)
+    assert_almost_equal(np.real(results["eigenvalues"][0]), 1.0, decimal=PRECISION)
+
+
+def test_weights_column_normalized(bundle):
+    W = bundle["mbar"].weights()
+    assert_almost_equal(np.sum(W, axis=0), np.ones(W.shape[1]), decimal=PRECISION)
+
+
+def test_covariance_of_sums_runs(bundle_kln):
+    mbar = bundle_kln["mbar"]
+    theta = mbar.compute_free_energy_differences(return_theta=True)["Theta"]
+    mbar.compute_covariance_of_sums(theta, 1, np.array([1, -1]))
+
+
+# -----------------------------------------------------------------------------
+# Perturbed free energies
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "system,mode,bad_n",
+    [
+        ("harmonic", "u_kn", False),
+        ("exponential", "u_kn", False),
+        ("harmonic", "u_kln", False),
+        pytest.param("harmonic", "u_kn", True, marks=pytest.mark.xfail(strict=True)),
+    ],
+)
+def test_perturbed_free_energies(system, mode, bad_n):
+    """Free energies of never-sampled states from a 2-state MBAR."""
+    test = SYSTEMS[system]()
+    if mode == "u_kln":
+        x, u, _ = test.sample(N_K, mode=mode)
+        numN = max(N_K[:2]) - (1 if bad_n else 0)
+        mslice = np.s_[:2, :2, :numN]
+        pslice = np.s_[:2, 2:, :numN]
+    else:
+        x, u, _, _ = test.sample(N_K, mode=mode)
+        numN = np.sum(N_K[:2]) - (1 if bad_n else 0)
+        mslice = np.s_[:2, :numN]
+        pslice = np.s_[2:, :numN]
+
+    mbar = MBAR(u[mslice], N_K[:2])
+    results = mbar.compute_perturbed_free_energies(u[pslice])
+    fe = results["Delta_f"][0, 1:]
+    dfe = results["dDelta_f"][0, 1:]
+    fa = test.analytical_free_energies()[2:]
+    assert_zscore_ok(fe, fa[1:] - fa[0], dfe)
+
+
+# -----------------------------------------------------------------------------
+# Bootstrap determinism
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_bootstrap", [1, 100])
+def test_bootstrap_deterministic_under_seed(fresh_ho_u_kn, n_bootstrap):
+    """Same rseed must reproduce bootstrap results bit-for-bit, regardless of
+    verbosity (the duplicate-state RNG draw happens either way)."""
+    a = MBAR(fresh_ho_u_kn, N_K, verbose=True, n_bootstraps=n_bootstrap, rseed=814)
+    ref = a.compute_free_energy_differences(uncertainty_method="bootstrap")
+
+    b = MBAR(fresh_ho_u_kn, N_K, verbose=False, n_bootstraps=n_bootstrap, rseed=814)
+    out = b.compute_free_energy_differences(uncertainty_method="bootstrap")
+
+    np.testing.assert_equal(ref["Delta_f"], out["Delta_f"])
+    np.testing.assert_equal(ref["dDelta_f"], out["dDelta_f"])

@@ -1,0 +1,162 @@
+"""Solver-engine stationarity and protocol tests.
+
+Coverage model: reference pymbar/tests/test_mbar_solvers.py (125 LoC) —
+gradient ~ 0 at the solution, weight normalization, the self-consistency
+fixed point, and every supported solver protocol reaching analytic accuracy.
+The reference's PYMBAR_DISABLE_JAX env-parsing matrix maps to our
+PYMBAR_TPU_DISABLE_X64 toggle.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_almost_equal
+
+import jax.numpy as jnp
+
+import pymbar_tpu
+from helpers import Z_SCALE
+from pymbar_tpu import MBAR
+from pymbar_tpu import solvers as mbar_solvers
+from pymbar_tpu.ops import mbar_gradient, self_consistent_update
+from pymbar_tpu.utils_for_testing import exponentials, oscillators
+
+
+def _as_dev(U, N_k, f_k):
+    return (
+        jnp.asarray(U),
+        jnp.asarray(N_k, dtype=np.float64),
+        jnp.asarray(f_k),
+    )
+
+
+@pytest.fixture(scope="module")
+def base_oscillator():
+    name, u_kn, N_k, s_n, test = oscillators(50, 100, provide_test=True)
+    return {"name": name, "u_kn": u_kn, "N_k": N_k, "test": test}
+
+
+@pytest.fixture(scope="module")
+def more_oscillators():
+    name, u_kn, N_k, s_n, test = oscillators(50, 500, provide_test=True)
+    return {"name": name, "u_kn": u_kn, "N_k": N_k, "test": test}
+
+
+@pytest.mark.parametrize(
+    "statesa, statesb, test_system",
+    [(100, 100, oscillators), (200, 50, oscillators), (200, 50, exponentials)],
+)
+def test_solver_stationarity(statesa, statesb, test_system):
+    """At the solution: grad ~ 0 (decimal 8), weights normalized (decimal
+    10), SC update is a fixed point (decimal 10)."""
+    # Retry once with a fresh draw on statistical failure (the reference
+    # marks this flaky with max_runs=2).
+    for attempt in range(2):
+        try:
+            name, U, N_k, s_n, _ = test_system(statesa, statesb, provide_test=True)
+            mbar = MBAR(U, N_k)
+            u, n, f = _as_dev(U, N_k, mbar.f_k)
+            assert_array_almost_equal(
+                np.asarray(mbar_gradient(u, n, f)), np.zeros(N_k.shape), decimal=8
+            )
+            assert_array_almost_equal(
+                np.exp(mbar.Log_W_nk).sum(0), np.ones(len(N_k)), decimal=10
+            )
+            assert_array_almost_equal(
+                np.exp(mbar.Log_W_nk).dot(N_k), np.ones(U.shape[1]), decimal=10
+            )
+            assert_array_almost_equal(
+                np.asarray(self_consistent_update(u, n, f)), mbar.f_k, decimal=10
+            )
+            return
+        except AssertionError:
+            if attempt == 1:
+                raise
+
+
+def _run_protocol(bundle, protocol):
+    test, u_kn, N_k = bundle["test"], bundle["u_kn"], bundle["N_k"]
+    fa = test.analytical_free_energies()
+    fa = fa[1:] - fa[0]
+    mbar = MBAR(u_kn, N_k, solver_protocol=({"method": protocol},))
+    # Re-solve warm-started from the converged answer, as the reference does.
+    mbar = MBAR(u_kn, N_k, initial_f_k=mbar.f_k, solver_protocol=({"method": protocol},))
+    return mbar, fa
+
+
+@pytest.mark.parametrize(
+    "protocol",
+    [
+        "adaptive",
+        "hybr",
+        "lm",
+        "L-BFGS-B",
+        "dogleg",
+        "CG",
+        "BFGS",
+        "Newton-CG",
+        "TNC",
+        "trust-ncg",
+        "trust-krylov",
+        "trust-exact",
+        "SLSQP",
+    ],
+)
+def test_protocols(base_oscillator, more_oscillators, protocol):
+    """Every protocol string must solve to analytic accuracy."""
+    try:
+        mbar, fa = _run_protocol(base_oscillator, protocol)
+    except Exception as e:  # noqa: BLE001 - same fallback as the reference
+        print(f"Caught error on base oscillator, retrying with more samples: {e}")
+        mbar, fa = _run_protocol(more_oscillators, protocol)
+    results = mbar.compute_free_energy_differences()
+    fe = results["Delta_f"][0, 1:]
+    fe_sigma = results["dDelta_f"][0, 1:]
+    z = (fe - fa) / fe_sigma
+    assert_array_almost_equal(z / Z_SCALE, np.zeros(len(z)), decimal=0)
+
+
+def test_solve_mbar_protocol_fallback(base_oscillator):
+    """A failing first stage must fall through to the next stage and still
+    deliver the best-gradient-norm answer."""
+    u_kn, N_k = base_oscillator["u_kn"], base_oscillator["N_k"]
+    protocol = (
+        dict(method="adaptive", options=dict(maxiter=1), continuation=True),
+        dict(method="adaptive", options=dict(maxiter=1000)),
+    )
+    mbar = MBAR(u_kn, N_k, solver_protocol=protocol)
+    u, n, f = _as_dev(u_kn, N_k, mbar.f_k)
+    assert np.linalg.norm(np.asarray(mbar_gradient(u, n, f))) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "env_value,expected_x64_disabled",
+    [
+        ("true", True),
+        ("TRUE", True),
+        ("TrUe", True),
+        ("yes", True),
+        ("YES", True),
+        ("1", True),
+        ("false", False),
+        ("FALSE", False),
+        ("no", False),
+        ("0", False),
+        ("", False),
+        ("invalid", False),
+        ("random_value", False),
+    ],
+)
+def test_env_toggle_parsing(monkeypatch, env_value, expected_x64_disabled):
+    """PYMBAR_TPU_DISABLE_X64 parsing matrix (analog of the reference's
+    PYMBAR_DISABLE_JAX matrix, mbar_solvers.py:18-23)."""
+    from pymbar_tpu.config import _env_truthy
+
+    monkeypatch.setenv("PYMBAR_TPU_DISABLE_X64", env_value)
+    assert _env_truthy("PYMBAR_TPU_DISABLE_X64") is expected_x64_disabled
+
+
+def test_env_toggle_unset(monkeypatch):
+    from pymbar_tpu.config import _env_truthy
+
+    monkeypatch.delenv("PYMBAR_TPU_DISABLE_X64", raising=False)
+    assert _env_truthy("PYMBAR_TPU_DISABLE_X64") is False
