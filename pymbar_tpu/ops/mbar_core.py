@@ -69,6 +69,49 @@ def validate_inputs(u_kn, N_k, f_k):
 # -----------------------------------------------------------------------------
 
 
+# Above this many bytes of u_kn, the K×N reductions stream over n-chunks
+# instead of relying on XLA fusion: under f64 emulation XLA materializes the
+# split-f32 planes of K×N temps, which blows HBM at the 8 GB problem sizes.
+_STREAM_BYTES = 1024 * 1024 * 1024
+_STREAM_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def _stream_chunks(nbytes):
+    return max(2, int(nbytes // _STREAM_CHUNK_BYTES))
+
+
+def _logden_direct(u_kn, N_k, f_k):
+    a = f_k[:, None] - u_kn  # (K, N)
+    a_max = jnp.max(a, axis=0)
+    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
+    s = jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)
+    return jnp.log(s) + a_max
+
+
+def _logden_blocked(u_kn, N_k, f_k, num_chunks):
+    """Streamed per-sample reduction: chunk of columns in, chunk of logden out."""
+    K, N = u_kn.shape
+    nc = N // num_chunks
+
+    def body(c, out):
+        sl = jax.lax.dynamic_slice(u_kn, (0, c * nc), (K, nc))
+        return jax.lax.dynamic_update_slice(
+            out, _logden_direct(sl, N_k, f_k), (c * nc,)
+        )
+
+    out = jax.lax.fori_loop(
+        0, num_chunks, body, jnp.zeros(N, dtype=u_kn.dtype)
+    )
+    rem = N - nc * num_chunks
+    if rem > 0:
+        out = jax.lax.dynamic_update_slice(
+            out,
+            _logden_direct(u_kn[:, nc * num_chunks :], N_k, f_k),
+            (nc * num_chunks,),
+        )
+    return out
+
+
 def log_denominator_n(u_kn, N_k, f_k):
     """Per-sample mixture log-normalizer: logsumexp_k[f_k - u_kn] with weights N_k.
 
@@ -77,22 +120,58 @@ def log_denominator_n(u_kn, N_k, f_k):
     Empty states (N_k == 0) drop out exactly.  Reduction runs along the K
     (leading) axis so the large N axis stays the vectorized minor dimension
     on TPU and no K×N transpose is ever formed (the reference transposes:
-    mbar_solvers.py:241).
+    mbar_solvers.py:241).  Large inputs stream over n-chunks.
     """
-    a = f_k[:, None] - u_kn  # (K, N)
-    a_max = jnp.max(a, axis=0)
-    a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
-    s = jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)
-    return jnp.log(s) + a_max
+    nbytes = u_kn.size * u_kn.dtype.itemsize
+    if nbytes <= _STREAM_BYTES:
+        return _logden_direct(u_kn, N_k, f_k)
+    return _logden_blocked(u_kn, N_k, f_k, _stream_chunks(nbytes))
 
 
-def _log_numerator_k(u_kn, logden_n):
-    """Per-state reweighted log-sum: logsumexp_n[-logden_n - u_kn].  Returns (K,)."""
+def _lognum_direct(u_kn, logden_n):
     a = -logden_n[None, :] - u_kn  # (K, N)
     a_max = jnp.max(a, axis=1)
     a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
     s = jnp.sum(jnp.exp(a - a_max[:, None]), axis=1)
     return jnp.log(s) + a_max
+
+
+def _lognum_blocked(u_kn, logden_n, num_chunks):
+    """Streaming logsumexp over n with a running max (flash-style rescaling)."""
+    K, N = u_kn.shape
+    nc = N // num_chunks
+    neg_inf = jnp.asarray(-jnp.inf, dtype=u_kn.dtype)
+
+    def combine(m, s, a):
+        a_max = jnp.max(a, axis=1)
+        m_new = jnp.maximum(m, a_max)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        s = s * jnp.exp(m - m_safe) + jnp.sum(jnp.exp(a - m_safe[:, None]), axis=1)
+        return m_new, s
+
+    def body(c, carry):
+        m, s = carry
+        sl = jax.lax.dynamic_slice(u_kn, (0, c * nc), (K, nc))
+        ldc = jax.lax.dynamic_slice(logden_n, (c * nc,), (nc,))
+        return combine(m, s, -ldc[None, :] - sl)
+
+    m0 = jnp.full(K, neg_inf)
+    s0 = jnp.zeros(K, dtype=u_kn.dtype)
+    m, s = jax.lax.fori_loop(0, num_chunks, body, (m0, s0))
+    rem = N - nc * num_chunks
+    if rem > 0:
+        a = -logden_n[None, nc * num_chunks :] - u_kn[:, nc * num_chunks :]
+        m, s = combine(m, s, a)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.log(s) + m
+
+
+def _log_numerator_k(u_kn, logden_n):
+    """Per-state reweighted log-sum: logsumexp_n[-logden_n - u_kn].  Returns (K,)."""
+    nbytes = u_kn.size * u_kn.dtype.itemsize
+    if nbytes <= _STREAM_BYTES:
+        return _lognum_direct(u_kn, logden_n)
+    return _lognum_blocked(u_kn, logden_n, _stream_chunks(nbytes))
 
 
 @jax.jit
@@ -164,24 +243,81 @@ def mbar_objective_and_gradient(u_kn, N_k, f_k):
     return obj, grad
 
 
-@jax.jit
-def mbar_w_nk_gram(u_kn, N_k, f_k):
-    """(W^T W, colsum W) without materializing W in (N, K) layout.
+# Above this many bytes of u_kn, the Gram streams over n-chunks instead of
+# materializing the full K×N weight matrix as a matmul operand.
+_GRAM_BLOCK_BYTES = 256 * 1024 * 1024
+_GRAM_CHUNK_BYTES = 64 * 1024 * 1024
 
-    W[n, k] = exp(f_k - u_kn[k, n] - logden_n).  We form G = W W^T over the
-    (K, N) layout directly — a K×K MXU matmul — plus the per-state weight
-    sums.  These are the only two aggregates the Hessian (Eq. C9) and the
-    svd-ew covariance need, so the N×K weight matrix never exists in memory.
-    """
+
+@jax.jit
+def _gram_direct(u_kn, N_k, f_k):
     logden = log_denominator_n(u_kn, N_k, f_k)
-    logw_kn = f_k[:, None] - u_kn - logden[None, :]
-    w_kn = jnp.exp(logw_kn)
+    w_kn = jnp.exp(f_k[:, None] - u_kn - logden[None, :])
     gram = jnp.dot(w_kn, w_kn.T, preferred_element_type=w_kn.dtype)
     colsum = jnp.sum(w_kn, axis=1)
     return gram, colsum
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("num_chunks", "acc_dtype"))
+def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
+    """Streamed Gram: per n-chunk, build the K×chunk weight slab, contract it
+    on the MXU and accumulate the K×K partial — the full W never exists.
+
+    ``acc_dtype`` may be lower precision than u_kn: the Gram only feeds the
+    Newton step direction (convergence is certified on the exact gradient),
+    and f64 matmuls are emulated (slow) on TPU.
+    """
+    K, N = u_kn.shape
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    nc = N // num_chunks
+
+    def body(c, acc):
+        sl = jax.lax.dynamic_slice(u_kn, (0, c * nc), (K, nc))
+        ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
+        w = jnp.exp((f_k[:, None] - sl - ldc[None, :]).astype(acc_dtype))
+        return (
+            acc[0] + jnp.dot(w, w.T, preferred_element_type=acc_dtype),
+            acc[1] + jnp.sum(w, axis=1),
+        )
+
+    gram, colsum = jax.lax.fori_loop(
+        0,
+        num_chunks,
+        body,
+        (jnp.zeros((K, K), acc_dtype), jnp.zeros(K, acc_dtype)),
+    )
+
+    # Remainder columns (N not divisible by num_chunks).
+    rem = N - nc * num_chunks
+    if rem > 0:
+        sl = u_kn[:, nc * num_chunks :]
+        ldc = logden[nc * num_chunks :]
+        w = jnp.exp((f_k[:, None] - sl - ldc[None, :]).astype(acc_dtype))
+        gram = gram + jnp.dot(w, w.T, preferred_element_type=acc_dtype)
+        colsum = colsum + jnp.sum(w, axis=1)
+
+    return gram.astype(u_kn.dtype), colsum.astype(u_kn.dtype)
+
+
+def mbar_w_nk_gram(u_kn, N_k, f_k):
+    """(W^T W, colsum W) without materializing W in (N, K) layout.
+
+    W[n, k] = exp(f_k - u_kn[k, n] - logden_n).  G = W W^T is formed over the
+    (K, N) layout directly — a K×K MXU matmul — plus the per-state weight
+    sums.  These are the only aggregates the Hessian (Eq. C9) and the svd-ew
+    covariance need.  Large problems stream over n-chunks (f32 accumulation
+    on TPU, where f64 matmuls are emulated).
+    """
+    nbytes = u_kn.size * u_kn.dtype.itemsize
+    if nbytes <= _GRAM_BLOCK_BYTES:
+        return _gram_direct(u_kn, N_k, f_k)
+    num_chunks = max(2, int(nbytes // _GRAM_CHUNK_BYTES))
+    from pymbar_tpu.config import on_tpu
+
+    acc_dtype = jnp.float32 if (on_tpu() and u_kn.dtype == jnp.float64) else u_kn.dtype
+    return _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype)
+
+
 def mbar_hessian(u_kn, N_k, f_k):
     """Hessian of the MBAR objective, Eq. C9 (reference mbar_solvers.py:395-436)."""
     gram, colsum = mbar_w_nk_gram(u_kn, N_k, f_k)
@@ -203,13 +339,47 @@ def mbar_W_nk(u_kn, N_k, f_k):
     return jnp.exp(mbar_log_W_nk(u_kn, N_k, f_k))
 
 
+def _precondition_direct(u_kn, N_k, f_k):
+    u_kn = u_kn - jnp.min(u_kn, axis=0)[None, :]
+    logden = _logden_direct(u_kn, N_k, f_k)
+    return u_kn + (logden - jnp.dot(N_k, f_k) / jnp.sum(N_k))[None, :]
+
+
+def _precondition_blocked(u_kn, N_k, f_k, num_chunks):
+    """Streamed in-place preconditioning: the shift is per-sample (column-
+    local), so each n-chunk is min-shifted, logden-shifted and written back
+    without any full-size temporaries."""
+    K, N = u_kn.shape
+    nc = N // num_chunks
+    c_shift = jnp.dot(N_k, f_k) / jnp.sum(N_k)
+
+    def transform(sl):
+        sl = sl - jnp.min(sl, axis=0)[None, :]
+        logden = _logden_direct(sl, N_k, f_k)
+        return sl + (logden - c_shift)[None, :]
+
+    def body(c, out):
+        sl = jax.lax.dynamic_slice(out, (0, c * nc), (K, nc))
+        return jax.lax.dynamic_update_slice(out, transform(sl), (0, c * nc))
+
+    out = jax.lax.fori_loop(0, num_chunks, body, u_kn)
+    rem = N - nc * num_chunks
+    if rem > 0:
+        out = jax.lax.dynamic_update_slice(
+            out, transform(out[:, nc * num_chunks :]), (0, nc * num_chunks)
+        )
+    return out
+
+
 @jax.jit
 def precondition_u_kn(u_kn, N_k, f_k):
     """Shift u_kn per-sample so the objective is ~0 (reference :697-735).
 
     u_kn <- u_kn - min_k u_kn, then add logden_n - (N_k.f_k)/N so the current
-    objective value is exactly zero; derivatives are invariant.
+    objective value is exactly zero; derivatives are invariant.  Large inputs
+    stream in place over n-chunks.
     """
-    u_kn = u_kn - jnp.min(u_kn, axis=0)[None, :]
-    logden = log_denominator_n(u_kn, N_k, f_k)
-    return u_kn + (logden - jnp.dot(N_k, f_k) / jnp.sum(N_k))[None, :]
+    nbytes = u_kn.size * u_kn.dtype.itemsize
+    if nbytes <= _STREAM_BYTES:
+        return _precondition_direct(u_kn, N_k, f_k)
+    return _precondition_blocked(u_kn, N_k, f_k, _stream_chunks(nbytes))

@@ -76,7 +76,10 @@ def sharded_log_denominator(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         a_max = jnp.max(a, axis=0)
         a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
         s = jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)
-        return jnp.log(s) + a_max
+        # Pad columns (u = +inf everywhere) would give log(0) = -inf; zero
+        # them so downstream sums are unaffected.
+        pad = ~jnp.isfinite(u_local[0, :])
+        return jnp.where(pad, 0.0, jnp.log(s) + a_max)
 
     fn = jax.shard_map(
         local,
@@ -96,11 +99,13 @@ def sharded_core_stats(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
     """
 
     def local(u_local, N_k, f_k):
-        # local log denominator
+        # local log denominator; pad columns (u = +inf) contribute exactly 0
         a = f_k[:, None] - u_local
         a_max = jnp.max(a, axis=0)
         a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
         logden = jnp.log(jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)) + a_max
+        pad = ~jnp.isfinite(u_local[0, :])
+        logden = jnp.where(pad, 0.0, logden)
 
         obj_local = jnp.sum(logden)
         obj = jax.lax.psum(obj_local, axis_name) - jnp.dot(N_k, f_k)
@@ -140,6 +145,8 @@ def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         a_max = jnp.max(a, axis=0)
         a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
         logden = jnp.log(jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)) + a_max
+        pad = ~jnp.isfinite(u_local[0, :])
+        logden = jnp.where(pad, 0.0, logden)
         w = jnp.exp(f_k[:, None] - u_local - logden[None, :])
         gram_local = jnp.dot(w, w.T, preferred_element_type=w.dtype)
         colsum_local = jnp.sum(w, axis=1)

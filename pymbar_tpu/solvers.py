@@ -102,17 +102,32 @@ scipy_root_options = ["hybr", "lm"]
 # -----------------------------------------------------------------------------
 
 
-@jax.jit
-def _adaptive_candidates(u_kn, N_k, f_k, gamma):
+@partial(jax.jit, static_argnames=("nr_method",))
+def _adaptive_candidates(u_kn, N_k, f_k, gamma, nr_method="lstsq"):
     """One adaptive iteration's candidate steps and their gradient norms.
 
     Returns (f_sci, g_sci, gnorm_sci, f_nr, g_nr, gnorm_nr) exactly as the
     reference's jax_core_adaptive (mbar_solvers.py:670-694), but sharing the
     log-denominator pass between the gradient and the SC update.
+
+    nr_method='lstsq' reproduces the reference (min-norm solve of the
+    singular full Hessian, then re-pin f_0).  nr_method='chol' solves the
+    equivalent nonsingular reduced system -H[1:,1:] by Cholesky — the exact
+    Newton step in the f_0=0 gauge, O(K^3/3) and SVD-free, preferred at
+    large K on TPU where the f64 SVD is emulated.
     """
     _, g, f_sci = core_stats(u_kn, N_k, f_k)
     H = mbar_hessian(u_kn, N_k, f_k)
-    Hinvg = jnp.linalg.lstsq(H, g, rcond=-1)[0]
+    if nr_method == "chol":
+        # mbar_hessian returns the PSD Hessian of the convex MBAR objective
+        # (reference sign convention), so the f_0-pinned block is positive
+        # definite and Cholesky-solvable directly.
+        A = H[1:, 1:]
+        cho = jax.scipy.linalg.cho_factor(A)
+        dx1 = jax.scipy.linalg.cho_solve(cho, g[1:])
+        Hinvg = jnp.concatenate([jnp.zeros((1,), dtype=g.dtype), dx1])
+    else:
+        Hinvg = jnp.linalg.lstsq(H, g, rcond=-1)[0]
     Hinvg -= Hinvg[0]
     f_nr = f_k - gamma * Hinvg
 
@@ -136,8 +151,8 @@ def _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol):
     return max_delta, max_diff
 
 
-@partial(jax.jit, static_argnames=("maxiter", "min_sc_iter"))
-def _adaptive_while(u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter):
+@partial(jax.jit, static_argnames=("maxiter", "min_sc_iter", "nr_method"))
+def _adaptive_while(u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter, nr_method="lstsq"):
     """Entire adaptive loop as one on-device lax.while_loop.
 
     Carries (iteration, f_k, sci_iter, nr_iter, max_delta, done).  Semantics
@@ -157,7 +172,7 @@ def _adaptive_while(u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter):
     def body(state):
         it, f_old, sci_iter, nr_iter, _delta, done = state
         f_sci, g_sci, gnorm_sci, f_nr, g_nr, gnorm_nr = _adaptive_candidates(
-            u_kn, N_k, f_old, gamma
+            u_kn, N_k, f_old, gamma, nr_method
         )
         take_sci = jnp.logical_or(gnorm_sci < gnorm_nr, sci_iter < min_sc_iter)
         f_new = jnp.where(take_sci, f_sci, f_nr)
@@ -202,10 +217,12 @@ def adaptive(u_kn, N_k, f_k, tol=1.0e-8, options=None):
     options.setdefault("print_warning", False)
     options.setdefault("gamma", 1.0)
     options.setdefault("min_sc_iter", 2)
+    options.setdefault("nr_method", "lstsq")
 
     gamma = options["gamma"]
     maxiter = int(options["maxiter"])
     min_sc_iter = int(options["min_sc_iter"])
+    nr_method = options["nr_method"]
     verbose = options["verbose"]
 
     if verbose:
@@ -229,7 +246,7 @@ def adaptive(u_kn, N_k, f_k, tol=1.0e-8, options=None):
 
     if not verbose:
         f_out, it, sci_iter, nr_iter, max_delta, done = _adaptive_while(
-            u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter
+            u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter, nr_method
         )
         success = bool(done)
         max_delta = float(max_delta)
@@ -244,7 +261,7 @@ def adaptive(u_kn, N_k, f_k, tol=1.0e-8, options=None):
         it = 0
         for it in range(1, maxiter + 1):
             f_sci, g_sci, gnorm_sci, f_nr, g_nr, gnorm_nr = map(
-                np.asarray, _adaptive_candidates(u_kn, N_k, f_k, gamma)
+                np.asarray, _adaptive_candidates(u_kn, N_k, f_k, gamma, nr_method)
             )
             logger.info(
                 "self consistent iteration gradient norm is %10.5g, "
@@ -361,7 +378,7 @@ def solve_mbar_once(
             scipy_opts = {
                 k: v
                 for k, v in options.items()
-                if k not in ("min_sc_iter", "print_warning", "gamma", "verbose")
+                if k not in ("min_sc_iter", "print_warning", "gamma", "verbose", "nr_method")
             }
             results = scipy.optimize.minimize(
                 grad_and_obj,
@@ -377,7 +394,7 @@ def solve_mbar_once(
             scipy_opts = {
                 k: v
                 for k, v in options.items()
-                if k not in ("min_sc_iter", "print_warning", "gamma", "verbose")
+                if k not in ("min_sc_iter", "print_warning", "gamma", "verbose", "nr_method")
             }
             results = scipy.optimize.root(
                 grad,

@@ -1,0 +1,434 @@
+"""Statistical tests of the FES module (histogram / KDE / spline).
+
+Coverage model: reference pymbar/tests/test_fes.py (558 LoC) — D-dimensional
+umbrella sampling on a quadratic base FES with an analytic surface; histogram
+x reference-point x uncertainty grids; KDE and spline fits; bootstrap paths.
+The sklearn skip-guards are gone: the KDE is native.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from helpers import Z_SCALE
+from pymbar_tpu import FES
+from pymbar_tpu.utils import ParameterError
+
+BETA = 1.0
+
+
+def make_umbrella_data(ndim=1, nsamples=1000, K0=20.0, Ku=100.0, gridscale=0.2, xrange=None):
+    """Umbrella sampling on U0 = (K0/2)|x|^2 with harmonic umbrellas on a grid.
+
+    Returns (u_kn, u_n, x_n, f_k_analytical, fes_const, bias_potentials);
+    the unbiased FES is exactly (K0/2)|x|^2 (reference test_fes.py:19-95).
+    """
+    x0 = np.zeros(ndim)
+    if xrange is None:
+        xrange = [[-3, 3]] * ndim
+    nperdim = np.array([xrange[d][1] - xrange[d][0] + 1 for d in range(ndim)], int)
+    numbrellas = int(np.prod(nperdim))
+
+    ksum = (Ku + K0) / BETA
+    kprod = (Ku * K0) / (BETA * BETA)
+    f_k_analytical = np.zeros(numbrellas)
+    xu_i = np.zeros([numbrellas, ndim])
+
+    dp = np.ones(ndim, int)
+    for d in range(1, ndim):
+        dp[d] = nperdim[d] * dp[d - 1]
+
+    umbrella_zero = 0
+    for i in range(numbrellas):
+        center = np.array(
+            [gridscale * ((i // dp[d]) % nperdim[d] + xrange[d][0]) for d in range(ndim)]
+        )
+        xu_i[i, :] = center
+        mu2 = float(center @ center)
+        f_k_analytical[i] = np.log(
+            (ndim * np.pi / ksum) ** 1.5 * np.exp(-kprod * mu2 / (2.0 * ksum))
+        )
+        if np.all(center == 0.0):
+            umbrella_zero = i
+    f_k_analytical -= f_k_analytical[umbrella_zero]
+
+    # Sample each umbrella: product of base and umbrella Gaussians.
+    x_n = np.zeros([numbrellas * nsamples, ndim])
+    sigma = 1.0 / (K0 + Ku)
+    for i in range(numbrellas):
+        for dim in range(ndim):
+            mu = sigma * (x0[dim] * K0 + xu_i[i, dim] * Ku)
+            x_n[i * nsamples : (i + 1) * nsamples, dim] = np.random.normal(
+                mu, np.sqrt(sigma), nsamples
+            )
+
+    u_n = BETA * (K0 / 2) * np.sum((x_n - x0) ** 2, axis=1)
+    u_kn = u_n[None, :] + BETA * (Ku / 2) * np.sum(
+        (x_n[None, :, :] - xu_i[:, None, :]) ** 2, axis=2
+    )
+
+    fes_const = K0 / 2.0
+
+    def bias_potential(x, k_bias):
+        dx = x - xu_i[k_bias, :]
+        return BETA * (Ku / 2.0) * np.dot(dx, dx)
+
+    bias_potentials = [(lambda x, k=k: bias_potential(x, k)) for k in range(numbrellas)]
+
+    return u_kn, u_n, x_n, f_k_analytical, fes_const, bias_potentials
+
+
+def _grid_payload(ndim, nsamples, nbinsperdim, gridscale=0.2, K0=20.0, Ku=100.0):
+    xrange = [[-3, 3]] * ndim
+    u_kn, u_n, x_n, f_k_analytical, fes_const, bias_potentials = make_umbrella_data(
+        K0=K0, Ku=Ku, ndim=ndim, nsamples=nsamples, gridscale=gridscale, xrange=xrange
+    )
+    numbrellas = u_kn.shape[0]
+    N_k = nsamples * np.ones(numbrellas, int)
+
+    mins = [gridscale * (xrange[d][0] - 0.5) for d in range(ndim)]
+    maxs = [gridscale * (xrange[d][1] + 0.5) for d in range(ndim)]
+    deltas = [(maxs[d] - mins[d]) / nbinsperdim for d in range(ndim)]
+    nbins = nbinsperdim**ndim
+    bin_edges = [np.linspace(mins[d], maxs[d], nbinsperdim + 1) for d in range(ndim)]
+
+    # Bin centers in the same ordering the reference enumerates (last dim
+    # fastest for 2D).
+    centers_1d = [
+        mins[d] + deltas[d] * (np.arange(nbinsperdim) + 0.5) for d in range(ndim)
+    ]
+    if ndim == 1:
+        bin_centers = centers_1d[0].reshape(-1, 1)
+    else:
+        gx, gy = np.meshgrid(centers_1d[0], centers_1d[1], indexing="ij")
+        bin_centers = np.column_stack([gx.ravel(), gy.ravel()])
+
+    mu2 = np.sum(bin_centers**2, axis=1)
+    fes_analytical = fes_const * mu2
+    fes_analytical -= fes_analytical[np.argmin(mu2)]
+
+    fes = FES(u_kn, N_k)
+    fes.generate_fes(u_n, x_n, histogram_parameters={"bin_edges": bin_edges if ndim > 1 else bin_edges[0]})
+    delta = 0.0 if ndim == 1 else 1e-4
+    ref_results = fes.get_fes(
+        bin_centers + delta,
+        reference_point="from-specified",
+        fes_reference=0.0 if ndim == 1 else [0, 0],
+        uncertainty_method="analytical",
+    )
+
+    return dict(
+        fes=fes,
+        u_kn=u_kn,
+        N_k=N_k,
+        u_n=u_n,
+        x_n=x_n,
+        dx=deltas[0],
+        nbins=nbins,
+        bin_edges=bin_edges if ndim > 1 else bin_edges[0],
+        bin_centers=bin_centers,
+        delta=delta,
+        fes_const=fes_const,
+        fes_analytical=fes_analytical,
+        f_k_analytical=f_k_analytical,
+        bias_potentials=bias_potentials,
+        reference_df_i=ref_results["df_i"],
+        xrange=xrange,
+    )
+
+
+@pytest.fixture(scope="module")
+def fes_1d():
+    return _grid_payload(ndim=1, nsamples=1000, nbinsperdim=15)
+
+
+@pytest.fixture(scope="module")
+def fes_2d():
+    return _grid_payload(ndim=2, nsamples=300, nbinsperdim=10)
+
+
+def _assert_surface_ok(f_est, fes_analytical, df):
+    z = np.where(np.asarray(df) != 0, np.abs(fes_analytical - f_est) / np.where(df == 0, 1, df), 0)
+    assert_almost_equal(z / Z_SCALE, np.zeros(len(z)), decimal=0)
+
+
+# -----------------------------------------------------------------------------
+# Histogram
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "reference_point",
+    [
+        "from-lowest",
+        "from-specified",
+        pytest.param("from-normalization", marks=pytest.mark.xfail(raises=ParameterError)),
+    ],
+)
+def test_1d_histogram(fes_1d, reference_point):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"], fes_1d["x_n"], histogram_parameters={"bin_edges": fes_1d["bin_edges"]}
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"],
+        reference_point=reference_point,
+        fes_reference=0.0,
+        uncertainty_method="analytical",
+    )
+    _assert_surface_ok(results["f_i"], fes_1d["fes_analytical"], results["df_i"])
+
+
+def test_1d_histogram_all_differences(fes_1d):
+    """all-differences (fixed here; broken in the reference, fes.py:1487)."""
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"], fes_1d["x_n"], histogram_parameters={"bin_edges": fes_1d["bin_edges"]}
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"],
+        reference_point="all-differences",
+        uncertainty_method="analytical",
+    )
+    df_ij = results["df_ij"]
+    n = len(fes_1d["bin_centers"])
+    assert df_ij.shape == (n, n)
+    valid = ~np.isnan(df_ij)
+    assert np.all(df_ij[valid] >= 0)
+    # Diagonal (self-differences) should be ~0 where defined.
+    diag = np.diag(df_ij)
+    assert np.nanmax(np.abs(diag)) < 1e-8
+
+
+def test_1d_histogram_bootstrap(fes_1d):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"],
+        fes_1d["x_n"],
+        histogram_parameters={"bin_edges": fes_1d["bin_edges"]},
+        n_bootstraps=4,
+        seed=4,
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"], reference_point="from-lowest", uncertainty_method="bootstrap"
+    )
+    assert np.all(np.isfinite(results["f_i"]))
+    assert np.all(results["df_i"][np.isfinite(results["df_i"])] >= 0)
+    _assert_surface_ok(results["f_i"], fes_1d["fes_analytical"], fes_1d["reference_df_i"])
+
+
+@pytest.mark.parametrize(
+    "reference_point",
+    [
+        "from-lowest",
+        "from-specified",
+        pytest.param("from-normalization", marks=pytest.mark.xfail(raises=ParameterError)),
+    ],
+)
+def test_2d_histogram(fes_2d, reference_point):
+    fes = fes_2d["fes"]
+    fes.generate_fes(
+        fes_2d["u_n"],
+        fes_2d["x_n"],
+        fes_type="histogram",
+        histogram_parameters={"bin_edges": fes_2d["bin_edges"]},
+    )
+    results = fes.get_fes(
+        fes_2d["bin_centers"] + fes_2d["delta"],
+        reference_point=reference_point,
+        fes_reference=[0, 0],
+    )
+    _assert_surface_ok(results["f_i"], fes_2d["fes_analytical"], fes_2d["reference_df_i"])
+
+
+def test_bad_n_bootstraps(fes_1d):
+    with pytest.raises(ValueError):
+        fes_1d["fes"].generate_fes(
+            fes_1d["u_n"],
+            fes_1d["x_n"],
+            histogram_parameters={"bin_edges": fes_1d["bin_edges"]},
+            n_bootstraps=1,
+        )
+
+
+def test_missing_bin_edges(fes_1d):
+    with pytest.raises(ParameterError):
+        fes_1d["fes"].generate_fes(fes_1d["u_n"], fes_1d["x_n"], histogram_parameters={})
+
+
+# -----------------------------------------------------------------------------
+# KDE
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gen_kwargs", [{}, {"seed": 10}])
+@pytest.mark.parametrize("reference_point", ["from-lowest", "from-specified", "from-normalization"])
+def test_1d_kde(fes_1d, gen_kwargs, reference_point):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"],
+        fes_1d["x_n"],
+        fes_type="kde",
+        kde_parameters={"bandwidth": 0.5 * fes_1d["dx"]},
+        **gen_kwargs,
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"], reference_point=reference_point, fes_reference=0.0
+    )
+    if reference_point == "from-normalization":
+        return  # normalized density: values shifted by the partition function
+    _assert_surface_ok(results["f_i"], fes_1d["fes_analytical"], fes_1d["reference_df_i"])
+
+
+def test_1d_kde_bootstrap(fes_1d):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"],
+        fes_1d["x_n"],
+        fes_type="kde",
+        kde_parameters={"bandwidth": 0.5 * fes_1d["dx"]},
+        n_bootstraps=2,
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"], reference_point="from-lowest", uncertainty_method="bootstrap"
+    )
+    assert np.all(np.isfinite(results["df_i"]))
+    _assert_surface_ok(results["f_i"], fes_1d["fes_analytical"], fes_1d["reference_df_i"])
+
+
+def test_2d_kde(fes_2d):
+    fes = fes_2d["fes"]
+    fes.generate_fes(
+        fes_2d["u_n"],
+        fes_2d["x_n"],
+        fes_type="kde",
+        kde_parameters={"bandwidth": 0.5 * fes_2d["dx"]},
+    )
+    results = fes.get_fes(
+        fes_2d["bin_centers"] + fes_2d["delta"],
+        reference_point="from-lowest",
+        fes_reference=[0, 0],
+    )
+    _assert_surface_ok(results["f_i"], fes_2d["fes_analytical"], fes_2d["reference_df_i"])
+
+
+def test_kde_bad_parameter(fes_1d):
+    with pytest.raises(ParameterError):
+        fes_1d["fes"].generate_fes(
+            fes_1d["u_n"],
+            fes_1d["x_n"],
+            fes_type="kde",
+            kde_parameters={"not_a_kde_param": 1.0},
+        )
+
+
+def test_get_kde_object(fes_1d):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"], fes_1d["x_n"], fes_type="kde", kde_parameters={"bandwidth": 0.1}
+    )
+    kde = fes.get_kde()
+    assert kde.sample().shape[1] == 1
+
+
+# -----------------------------------------------------------------------------
+# Spline
+# -----------------------------------------------------------------------------
+
+
+def _spline_params(fes_1d, algorithm="Newton-CG"):
+    params = dict(
+        spline_weights="unbiasedstate",
+        nspline=4,
+        spline_initialize="explicit",
+        xinit=fes_1d["bin_centers"][:, 0],
+        yinit=fes_1d["fes_analytical"],
+        xrange=fes_1d["xrange"][0],
+        fkbias=fes_1d["bias_potentials"],
+        kdegree=3,
+        optimization_algorithm=algorithm,
+        optimize_options={"disp": False, "tol": 1e-6},
+        objective="ml",
+        map_data=None,
+    )
+    if algorithm == "Custom-NR":
+        # Newton without safeguards needs a well-conditioned problem: match
+        # the spline range to the data support (the default [-3, 3] range
+        # leaves the FES unconstrained outside ~[-0.75, 0.75], the Hessian
+        # near-singular, and pure Newton divergent — which is presumably why
+        # the reference never tests Custom-NR).  Quadrature noise also floors
+        # the achievable gradient norm, so use a reachable tolerance.
+        params["xrange"] = [-0.9, 0.9]
+        params["optimize_options"] = {"disp": False, "tol": 1e-2, "maxiter": 50}
+    return params
+
+
+def _run_spline(fes_1d, gen_kwargs, reference_point, algorithm="Newton-CG"):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"],
+        fes_1d["x_n"],
+        fes_type="spline",
+        spline_parameters=_spline_params(fes_1d, algorithm),
+        **gen_kwargs,
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"], reference_point=reference_point, fes_reference=0.0
+    )
+    _assert_surface_ok(results["f_i"], fes_1d["fes_analytical"], fes_1d["reference_df_i"])
+    return fes
+
+
+@pytest.mark.parametrize("gen_kwargs", [{}, {"seed": 10}])
+def test_1d_spline(fes_1d, gen_kwargs):
+    fes = _run_spline(fes_1d, gen_kwargs, "from-lowest")
+    aic = fes.get_information_criteria("aic")
+    bic = fes.get_information_criteria("bic")
+    assert np.isfinite(aic) and np.isfinite(bic)
+    assert bic != aic
+
+
+def test_1d_spline_custom_nr(fes_1d):
+    _run_spline(fes_1d, {}, "from-lowest", algorithm="Custom-NR")
+
+
+def test_1d_spline_bootstrap(fes_1d):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"],
+        fes_1d["x_n"],
+        fes_type="spline",
+        spline_parameters=_spline_params(fes_1d),
+        n_bootstraps=2,
+    )
+    results = fes.get_fes(
+        fes_1d["bin_centers"], reference_point="from-lowest", uncertainty_method="bootstrap"
+    )
+    assert results["df_i"] is not None
+    assert np.all(np.isfinite(results["df_i"]))
+
+
+def test_spline_mc_sampling(fes_1d):
+    """Metropolis posterior sampling over spline coefficients + CI bands."""
+    fes = _run_spline(fes_1d, {}, "from-lowest")
+    np.random.seed(2)
+    fes.sample_parameter_distribution(
+        fes_1d["x_n"][:, 0],
+        mc_parameters=dict(niterations=200, sample_every=10, print_every=100),
+        decorrelate=False,
+        verbose=False,
+    )
+    mc = fes.get_mc_data()
+    assert 0.0 <= mc["acceptance_ratio"] <= 1.0
+    xplot = fes_1d["bin_centers"][:, 0]
+    ci = fes.get_confidence_intervals(xplot, 2.5, 97.5)
+    assert np.all(ci["phigh"] >= ci["plow"] - 1e-12)
+
+
+def test_information_criteria_requires_spline(fes_1d):
+    fes = fes_1d["fes"]
+    fes.generate_fes(
+        fes_1d["u_n"], fes_1d["x_n"], histogram_parameters={"bin_edges": fes_1d["bin_edges"]}
+    )
+    with pytest.raises(ParameterError):
+        fes.get_information_criteria("aic")

@@ -1,0 +1,108 @@
+"""Multi-chip sharding equivalence tests on the virtual 8-device CPU mesh.
+
+The reference is single-device (SURVEY.md §2.8); the invariant our scaling
+layer must satisfy is: sharded result == single-device result == analytic,
+for any shard count (the TPU analog of the reference's determinism tests).
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_almost_equal
+
+import jax
+import jax.numpy as jnp
+
+from helpers import N_K, make_ho
+from pymbar_tpu import MBAR
+from pymbar_tpu.ops.mbar_core import core_stats, mbar_w_nk_gram
+from pymbar_tpu.parallel.sharding import (
+    default_mesh,
+    shard_u_kn,
+    sharded_core_stats,
+    sharded_gram,
+    sharded_log_denominator,
+    sharded_solve_mbar,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([800, 500, 700, 600], mode="u_kn", seed=3)
+    N_k = np.array([800, 500, 700, 600], dtype=np.float64)
+    f_k = np.array([0.0, 0.1, -0.2, 0.3])
+    return u_kn, N_k, f_k, test
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_reductions_match_single_device(problem, n_devices):
+    u_kn, N_k, f_k, _ = problem
+    mesh = default_mesh(n_devices)
+    u_sharded, n_pad = shard_u_kn(u_kn, mesh)
+
+    u = jnp.asarray(u_kn)
+    nk = jnp.asarray(N_k)
+    fk = jnp.asarray(f_k)
+
+    # log denominator: compare the unpadded prefix
+    ld_sharded = np.asarray(sharded_log_denominator(u_sharded, N_k, f_k, mesh))
+    from pymbar_tpu.ops.mbar_core import log_denominator_n
+
+    ld_single = np.asarray(log_denominator_n(u, nk, fk))
+    assert_allclose(ld_sharded[: u_kn.shape[1]], ld_single, rtol=1e-12)
+
+    # fused stats (obj, grad, f_sci)
+    obj_s, g_s, fs_s = sharded_core_stats(u_sharded, N_k, f_k, mesh)
+    obj_1, g_1, fs_1 = core_stats(u, nk, fk)
+    assert_allclose(float(obj_s), float(obj_1), rtol=1e-12)
+    assert_allclose(np.asarray(g_s), np.asarray(g_1), rtol=1e-10, atol=1e-10)
+    assert_allclose(np.asarray(fs_s), np.asarray(fs_1), rtol=1e-12)
+
+    # Gram / colsum
+    gram_s, col_s = sharded_gram(u_sharded, N_k, f_k, mesh)
+    gram_1, col_1 = mbar_w_nk_gram(u, nk, fk)
+    assert_allclose(np.asarray(gram_s), np.asarray(gram_1), rtol=1e-10, atol=1e-12)
+    assert_allclose(np.asarray(col_s), np.asarray(col_1), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_solve_matches_mbar(problem, n_devices):
+    u_kn, N_k, f_k, test = problem
+    mesh = default_mesh(n_devices)
+
+    f_sharded, info = sharded_solve_mbar(u_kn, N_k, mesh=mesh, tol=1e-12)
+    assert info["success"]
+    assert info["gnorm"] < 1e-6
+
+    mbar = MBAR(u_kn, N_k.astype(int))
+    assert_array_almost_equal(f_sharded, mbar.f_k, decimal=9)
+
+    fa = test.analytical_free_energies()
+    # statistical agreement with analytic truth
+    assert np.max(np.abs(f_sharded - (fa - fa[0]))) < 0.2
+
+
+def test_shard_padding_is_exact(problem):
+    """+inf padding columns must contribute exactly zero."""
+    u_kn, N_k, f_k, _ = problem
+    mesh = default_mesh(8)
+    # 2600 samples % 8 = 0; force padding by dropping one sample
+    u_odd = u_kn[:, :-1]
+    N_odd = N_k.copy()
+    N_odd[-1] -= 1
+    u_sharded, n_pad = shard_u_kn(u_odd, mesh)
+    assert n_pad > 0
+
+    obj_s, g_s, _ = sharded_core_stats(u_sharded, N_odd, f_k, mesh)
+
+    from pymbar_tpu.ops.mbar_core import core_stats as single_stats
+
+    obj_1, g_1, _ = single_stats(
+        jnp.asarray(u_odd), jnp.asarray(N_odd), jnp.asarray(f_k)
+    )
+    assert_allclose(float(obj_s), float(obj_1), rtol=1e-12)
+    assert_allclose(np.asarray(g_s), np.asarray(g_1), rtol=1e-10, atol=1e-10)
+
+
+def test_mesh_device_count():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
