@@ -4,17 +4,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup, ...}
 
-* The problem is BASELINE.json config: evenly spaced harmonic oscillators,
-  K=1024 states x ~1e6 total samples, solved to the adaptive solver's
-  1e-12 relative tolerance.  Data is generated ON DEVICE (one fused f64
-  expression from an (N,)-vector of positions) so no host->device transfer
-  of the 8 GB u_kn matrix happens.
-* vs_baseline: wall time of the reference pymbar (its JAX-accelerated CPU
-  backend, /root/reference mounted read-only, numexpr stubbed) on the same
-  problem at N/10, scaled linearly in N (the solve is O(K*N) per iteration),
-  divided by our TPU time.  Cached in bench_baseline.json after first run.
-* Extra keys: delta_f rms error vs the analytic free energies, the final
-  gradient norm, and the f64 logsumexp pass throughput.
+* Problem: BASELINE.json config — evenly spaced harmonic oscillators,
+  K=1024 states x ~1e6 total samples, solved to 1e-12 relative tolerance.
+* Solver: the TPU-scale two-phase path (pymbar_tpu.solvers_large) — an f32
+  adaptive phase on the hi plane followed by a double-word Newton polish
+  whose logsumexp reductions run through the fused Pallas kernels.  The
+  reduced potentials are generated, preconditioned and double-word-split
+  chunkwise ON DEVICE (no host transfer, no full f64 copy ever lives in
+  HBM next to the planes).
+* Cross-check: the converged f_k is validated against an XLA-f64 adaptive
+  solve of the same problem (delta_f_max_err_vs_f64) and against the
+  analytic free energies (statistical-noise level).
+* vs_baseline: reference pymbar's JAX-CPU backend on the same problem at
+  N/10, scaled linearly (cached in bench_baseline.json).
 """
 
 import json
@@ -31,94 +33,161 @@ K = 1024
 N_PER_STATE = 976  # ~1e6 total samples
 N = K * N_PER_STATE
 TOL = 1.0e-12
+CHUNKS = 16
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
-def tpu_solve():
+def _setup():
     import jax
 
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+    from functools import partial
 
-    from pymbar_tpu.ops.mbar_core import core_stats, log_denominator_n, precondition_u_kn
-    from pymbar_tpu.solvers import _adaptive_while
+    from pymbar_tpu.ops.mbar_core import _logden_direct
 
     O = jnp.linspace(0.0, 5.0, K, dtype=jnp.float64)
     Kf = jnp.linspace(1.0, 3.0, K, dtype=jnp.float64)
     f_analytic = np.asarray(-0.5 * jnp.log(2 * jnp.pi / Kf))
     f_analytic = f_analytic - f_analytic[0]
 
+    N_k64 = jnp.full(K, float(N_PER_STATE), dtype=jnp.float64)
+    f0 = jnp.zeros(K, dtype=jnp.float64)
+    c_shift = 0.0  # dot(N_k, f0)/N = 0 at the zero initial guess
+
     @jax.jit
-    def gen(key):
+    def gen_dd(key):
+        """Generate, precondition (f=0) and double-word split, chunkwise.
+
+        Only the two f32 planes (8 GB total) plus one small f64 chunk are
+        ever live — the full f64 matrix never exists.
+        """
         z = jax.random.normal(key, (K, N_PER_STATE), dtype=jnp.float32).astype(jnp.float64)
         x = (O[:, None] + z / jnp.sqrt(Kf)[:, None]).reshape(-1)
-        # One fused elementwise expression -> only the 8 GB output is live.
-        u = 0.5 * Kf[:, None] * (x[None, :] - O[:, None]) ** 2
-        return u
 
-    u = gen(jax.random.PRNGKey(20260816))
-    u.block_until_ready()
+        nc = N // CHUNKS
 
-    N_k = jnp.full(K, float(N_PER_STATE), dtype=jnp.float64)
-    f0 = jnp.zeros(K, dtype=jnp.float64)
-    gamma = jnp.asarray(1.0, dtype=jnp.float64)
-    tol = jnp.asarray(TOL, dtype=jnp.float64)
+        def body(c, planes):
+            uh, ul = planes
+            xc = jax.lax.dynamic_slice(x, (c * nc,), (nc,))
+            u64 = 0.5 * Kf[:, None] * (xc[None, :] - O[:, None]) ** 2
+            # precondition: per-column min shift + logden shift (f = 0)
+            u64 = u64 - jnp.min(u64, axis=0)[None, :]
+            ld = _logden_direct(u64, N_k64, f0)
+            u64 = u64 + (ld - c_shift)[None, :]
+            hi = u64.astype(jnp.float32)
+            lo = (u64 - hi.astype(jnp.float64)).astype(jnp.float32)
+            uh = jax.lax.dynamic_update_slice(uh, hi, (0, c * nc))
+            ul = jax.lax.dynamic_update_slice(ul, lo, (0, c * nc))
+            return uh, ul
 
-    # Precondition once (donated so the 8 GB buffer is reused in place).
-    precond = jax.jit(precondition_u_kn.__wrapped__, donate_argnums=0)
-    u = precond(u, N_k, f0)
-    u.block_until_ready()
+        planes = (
+            jnp.zeros((K, N), jnp.float32),
+            jnp.zeros((K, N), jnp.float32),
+        )
+        return jax.lax.fori_loop(0, CHUNKS, body, planes)
+
+    @jax.jit
+    def gen_f64(key):
+        """The same preconditioned problem in f64 (for the cross-check solve,
+        run after the planes are freed — they cannot coexist in HBM)."""
+        z = jax.random.normal(key, (K, N_PER_STATE), dtype=jnp.float32).astype(jnp.float64)
+        x = (O[:, None] + z / jnp.sqrt(Kf)[:, None]).reshape(-1)
+        nc = N // CHUNKS
+
+        def body(c, u):
+            xc = jax.lax.dynamic_slice(x, (c * nc,), (nc,))
+            u64 = 0.5 * Kf[:, None] * (xc[None, :] - O[:, None]) ** 2
+            u64 = u64 - jnp.min(u64, axis=0)[None, :]
+            ld = _logden_direct(u64, N_k64, f0)
+            u64 = u64 + (ld - c_shift)[None, :]
+            return jax.lax.dynamic_update_slice(u, u64, (0, c * nc))
+
+        return jax.lax.fori_loop(0, CHUNKS, body, jnp.zeros((K, N), jnp.float64))
+
+    return jax, jnp, gen_dd, gen_f64, N_k64, f_analytic
+
+
+def tpu_solve():
+    jax, jnp, gen_dd, gen_f64, N_k64, f_analytic = _setup()
+
+    from pymbar_tpu.ops.doubledouble import dd_from_f64
+    from pymbar_tpu.ops.mbar_core import log_denominator_n
+    from pymbar_tpu.ops.pallas_kernels import logden_dd
+    from pymbar_tpu.solvers_large import solve_mbar_dd
+
+    key = jax.random.PRNGKey(20260816)
+    u_hi, u_lo = gen_dd(key)
+    jax.block_until_ready(u_hi)
 
     def solve():
-        f, it, sci, nr, max_delta, done = _adaptive_while(
-            u, N_k, f0, gamma, tol, 2000, 2, "chol"
-        )
-        jax.block_until_ready(f)
-        return f, int(it), bool(done)
+        f, info = solve_mbar_dd(u_hi, u_lo, np.full(K, float(N_PER_STATE)), tol=TOL)
+        return f, info
 
-    # Warm-up (compiles); then the timed run.
-    f, iters, done = solve()
+    f, info = solve()  # warm-up / compile
     t0 = time.time()
-    f, iters, done = solve()
+    f, info = solve()
     solve_s = time.time() - t0
 
-    _, g, _ = core_stats(u, N_k, f)
-    gnorm = float(np.linalg.norm(np.asarray(g)))
+    f = f - f[0]
+    delta_f_rmse = float(np.sqrt(np.mean((f - f_analytic) ** 2)))
 
-    f_np = np.asarray(f)
-    f_np = f_np - f_np[0]
-    delta_f_rmse = float(np.sqrt(np.mean((f_np - f_analytic) ** 2)))
-
-    # f64 logsumexp pass throughput (the hot op).
-    jitted = jax.jit(log_denominator_n)
-    jax.block_until_ready(jitted(u, N_k, f))
+    # Throughput of the hot reduction, Pallas dd (planes still resident).
+    gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k64))
+    ldh, ldl = logden_dd(u_hi, u_lo, gh, gl)
+    jax.block_until_ready(ldh)
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = jitted(u, N_k, f)
+    for _ in range(3):
+        ldh, ldl = logden_dd(u_hi, u_lo, gh, gl)
+    jax.block_until_ready(ldh)
+    dd_pass = (time.time() - t0) / 3
+
+    # Free the planes, regenerate the same problem in f64 (deterministic
+    # PRNG), and cross-check with the XLA-f64 adaptive solver.
+    del u_hi, u_lo, ldh, ldl, gh, gl
+    u64 = gen_f64(key)
+    jax.block_until_ready(u64)
+
+    from pymbar_tpu.solvers import _adaptive_while
+
+    f64_ref, *_ = _adaptive_while(
+        u64,
+        N_k64,
+        jnp.zeros(K, jnp.float64),
+        jnp.asarray(1.0, jnp.float64),
+        jnp.asarray(TOL, jnp.float64),
+        2000,
+        2,
+        "chol",
+    )
+    f64_ref = np.asarray(f64_ref)
+    f64_ref = f64_ref - f64_ref[0]
+    dd_vs_f64 = float(np.max(np.abs(f - f64_ref)))
+
+    jitted = jax.jit(log_denominator_n)
+    jax.block_until_ready(jitted(u64, N_k64, jnp.asarray(f)))
+    t0 = time.time()
+    for _ in range(3):
+        out = jitted(u64, N_k64, jnp.asarray(f))
     jax.block_until_ready(out)
-    pass_s = (time.time() - t0) / reps
-    lse_gbps = K * N * 8 / pass_s / 1e9
-    # ~4 flops per element (sub, exp, fma, plus the max pass).
-    lse_tflops = 4 * K * N / pass_s / 1e12
+    f64_pass = (time.time() - t0) / 3
+    del u64
 
     return dict(
         solve_s=solve_s,
-        iterations=iters,
-        converged=done,
-        gnorm=gnorm,
+        f32_iterations=info["f32_iterations"],
+        polish_iterations=info["polish_iterations"],
+        converged=bool(info["converged"]),
+        gnorm=info["gnorm"],
         delta_f_rmse_vs_analytic=delta_f_rmse,
-        logsumexp_gb_s=lse_gbps,
-        logsumexp_tflop_s=lse_tflops,
+        delta_f_max_err_vs_f64=dd_vs_f64,
+        logsumexp_dd_gb_s=K * N * 8 / dd_pass / 1e9,
+        logsumexp_f64_gb_s=K * N * 8 / f64_pass / 1e9,
     )
 
 
 def reference_baseline():
-    """Reference pymbar (JAX CPU backend) on the same problem at N/10, x10.
-
-    Runs in a subprocess so its CPU-jax / x64 config can't contaminate ours.
-    Cached in bench_baseline.json.
-    """
+    """Reference pymbar (JAX CPU backend) at N/10, scaled x10; cached."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as fh:
             return json.load(fh)
@@ -127,7 +196,6 @@ def reference_baseline():
     import tempfile
 
     stub_dir = tempfile.mkdtemp()
-    # numexpr stub: the reference imports it unconditionally (utils.py:29).
     with open(os.path.join(stub_dir, "numexpr.py"), "w") as fh:
         fh.write(
             "import inspect\n"
@@ -203,12 +271,14 @@ def main():
                 value=round(result["solve_s"], 4),
                 unit="s",
                 vs_baseline=round(vs_baseline, 2) if vs_baseline else None,
-                iterations=result["iterations"],
                 converged=result["converged"],
+                f32_iterations=result["f32_iterations"],
+                polish_iterations=result["polish_iterations"],
                 gradient_norm=result["gnorm"],
                 delta_f_rmse_vs_analytic=result["delta_f_rmse_vs_analytic"],
-                logsumexp_gb_s=round(result["logsumexp_gb_s"], 1),
-                logsumexp_tflop_s=round(result["logsumexp_tflop_s"], 3),
+                delta_f_max_err_vs_f64=result["delta_f_max_err_vs_f64"],
+                logsumexp_dd_gb_s=round(result["logsumexp_dd_gb_s"], 1),
+                logsumexp_f64_gb_s=round(result["logsumexp_f64_gb_s"], 1),
                 baseline="reference pymbar jax-cpu, N/10 scaled x10",
             )
         )

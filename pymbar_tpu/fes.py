@@ -247,8 +247,17 @@ class FES:
                 "histogram_parameters['bin_edges'] cannot be undefined with "
                 "fes_type = histogram"
             )
-        if len(np.shape(histogram_parameters["bin_edges"])) == 1:
-            histogram_parameters["bin_edges"] = [histogram_parameters["bin_edges"]]
+        # Normalize to a list of per-dimension edge arrays.  (np.shape on a
+        # ragged list of unequal-length edge arrays raises; probe the first
+        # element instead so unequal grids per dimension work.)
+        be = histogram_parameters["bin_edges"]
+        if isinstance(be, np.ndarray) and be.ndim == 1:
+            be = [be]
+        elif np.isscalar(be[0]):
+            be = [np.asarray(be)]
+        else:
+            be = [np.asarray(e) for e in be]
+        histogram_parameters["bin_edges"] = be
 
         self.histogram_parameters = histogram_parameters
         self.histogram_data = None

@@ -178,9 +178,11 @@ class MBAR:
             self.f_k_boots = np.zeros([n_bootstraps, self.K])
             allN = int(np.sum(N_k))
             self.bootstrap_rints = np.zeros([n_bootstraps, allN], int)
+
+            # Draw every replicate's resample indices first (same RNG stream
+            # as drawing them inside the loop, since nothing else consumes
+            # the RNG between draws).
             for b in range(n_bootstraps):
-                f_k_init = np.array(self.f_k.copy())
-                # Resample within each origin state (reference mbar.py:425-435).
                 rints = np.zeros(allN, int)
                 for k in range(K):
                     k_indices = np.where(self.x_kindices == k)[0]
@@ -190,22 +192,43 @@ class MBAR:
                         self.rng.integers(int(self.N_k[k]), size=int(self.N_k[k]))
                     ]
                     rints[k_indices] = new_kindices
-                if initialize == "BAR":
-                    f_k_init = self._initialize_with_bar(
-                        self.u_kn[:, rints], f_k_init=self.f_k
-                    )
-                self.f_k_boots[b, :] = mbar_solvers.solve_mbar_for_all_states(
-                    self.u_kn[:, rints],
-                    self.N_k,
-                    f_k_init,
-                    self.states_with_samples,
-                    bootstrap_solver_protocol,
-                )
                 self.bootstrap_rints[b, :] = rints
-                if verbose and b % maxfrac == 0:
-                    logger.info(
-                        f"Calculated {b + 1:d}/{n_bootstraps:d} bootstrap samples"
+
+            # Fast path: the default bootstrap protocol is a single adaptive
+            # stage with no BAR re-init — solve replicates batched under
+            # vmap (chunked to bound the B x K x N gather memory).  Batched
+            # solves fill the TPU; on CPU the sequential path is faster
+            # (the vmapped while-loop runs every replicate to the slowest
+            # one's iteration count), so gate on the backend.
+            from pymbar_tpu.config import on_tpu
+
+            fast = (
+                on_tpu()
+                and initialize != "BAR"
+                and len(bootstrap_solver_protocol) == 1
+                and bootstrap_solver_protocol[0]["method"] == "adaptive"
+            )
+            if fast:
+                self._bootstrap_solve_batched(bootstrap_solver_protocol[0], verbose)
+            else:
+                for b in range(n_bootstraps):
+                    f_k_init = np.array(self.f_k.copy())
+                    rints = self.bootstrap_rints[b, :]
+                    if initialize == "BAR":
+                        f_k_init = self._initialize_with_bar(
+                            self.u_kn[:, rints], f_k_init=self.f_k
+                        )
+                    self.f_k_boots[b, :] = mbar_solvers.solve_mbar_for_all_states(
+                        self.u_kn[:, rints],
+                        self.N_k,
+                        f_k_init,
+                        self.states_with_samples,
+                        bootstrap_solver_protocol,
                     )
+                    if verbose and b % maxfrac == 0:
+                        logger.info(
+                            f"Calculated {b + 1:d}/{n_bootstraps:d} bootstrap samples"
+                        )
         elif n_bootstraps < 0:
             logger.warning("n_bootstraps must be an integer >= 0")
 
@@ -222,6 +245,79 @@ class MBAR:
             logger.info("f_k = ")
             logger.info(self.f_k)
             logger.info("MBAR initialization complete.")
+
+    def _bootstrap_solve_batched(self, stage, verbose):
+        """Solve all bootstrap replicates batched under vmap.
+
+        Equivalent to per-replicate solve_mbar_for_all_states with the
+        single-stage adaptive bootstrap protocol (reference mbar.py:417-449),
+        but the per-replicate gathers, preconditioning, adaptive while-loops
+        and the empty-state SC fill all run as one vmapped device program
+        per chunk of replicates.
+        """
+        import jax
+
+        from pymbar_tpu.ops.mbar_core import (
+            _log_numerator_k,
+            log_denominator_n,
+            precondition_u_kn,
+        )
+        from pymbar_tpu.solvers import _adaptive_while
+
+        B = self.n_bootstraps
+        sws = self.states_with_samples
+        options = stage.get("options") or {}
+        maxiter = int(options.get("maxiter", 10000))
+        min_sc_iter = int(options.get("min_sc_iter", 2))
+        gamma = float(options.get("gamma", 1.0))
+        tol = 1.0e-12  # solve_mbar_once default
+
+        u_dev = jnp.asarray(self.u_kn)
+        N_sub = jnp.asarray(self.N_k[sws], dtype=jnp.float64)
+        N_all = jnp.asarray(self.N_k, dtype=jnp.float64)
+        f_init = jnp.asarray(self.f_k - self.f_k[0])
+        sws_dev = jnp.asarray(sws)
+
+        def solve_one(rints):
+            u_full = u_dev[:, rints]
+            u_sub = u_full[sws_dev]
+            u_sub = precondition_u_kn(u_sub, N_sub, f_init[sws_dev])
+            f_nz, _it, _sci, _nr, _delta, done = _adaptive_while(
+                u_sub,
+                N_sub,
+                f_init[sws_dev],
+                jnp.asarray(gamma, jnp.float64),
+                jnp.asarray(tol, jnp.float64),
+                maxiter,
+                min_sc_iter,
+                "lstsq",
+            )
+            f_all = jnp.zeros(self.K, dtype=jnp.float64).at[sws_dev].set(f_nz)
+            # Empty-state fill: one SC update over all states, re-pin f_0.
+            logden = log_denominator_n(u_full, N_all, f_all)
+            f_all = -_log_numerator_k(u_full, logden)
+            return f_all - f_all[0], done
+
+        solve_batch = jax.jit(jax.vmap(solve_one))
+
+        # Chunk replicates to bound the B x K x N resampled-matrix memory.
+        bytes_per = self.u_kn.size * 8
+        chunk = int(max(1, min(B, (1 << 28) // max(bytes_per, 1))))
+        n_fail = 0
+        for start in range(0, B, chunk):
+            r = jnp.asarray(self.bootstrap_rints[start : start + chunk])
+            f_b, done_b = solve_batch(r)
+            self.f_k_boots[start : start + chunk] = np.asarray(f_b)
+            n_fail += int(np.sum(~np.asarray(done_b)))
+            if verbose:
+                logger.info(
+                    f"Calculated {min(start + chunk, B):d}/{B:d} bootstrap samples"
+                )
+        if n_fail:
+            logger.warning(
+                f"{n_fail:d}/{B:d} bootstrap replicates did not converge to "
+                "within tolerance."
+            )
 
     @staticmethod
     def _resolve_protocol(prot, default, maximum_iterations):

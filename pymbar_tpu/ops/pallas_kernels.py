@@ -41,8 +41,18 @@ from pymbar_tpu.ops.doubledouble import (
 
 __all__ = ["logden_dd", "lognum_dd", "dd_log_pos"]
 
-_TILE_N = 512
+_TILE_N = None  # auto: sized from K to fit VMEM (see _pick_tile)
 _PAD_U = 1.0e10  # sentinel potential for padded rows/columns
+
+
+def _pick_tile(K):
+    """Largest 128-multiple tile width whose working set fits scoped VMEM.
+
+    Empirically the kernel's live set is ~15 K*tile f32 buffers (two input
+    planes double-buffered plus dd intermediates); budget ~12 MB.
+    """
+    t = (12_000_000 // (60 * max(K, 1))) // 128 * 128
+    return int(max(128, min(512, t)))
 
 
 def dd_log_pos(s_hi, s_lo):
@@ -84,6 +94,44 @@ def _exp_terms(uh, ul, gh, gl, m):
     return dd_exp_neg(a_hi, a_lo)
 
 
+@jax.jit
+def logden_dd_ref(u_hi, u_lo, g_hi, g_lo):
+    """Pure-jnp reference of ``logden_dd`` (same dd math, no pallas_call).
+
+    Used for CPU testing and as the off-TPU fallback of the two-phase
+    solver; memory-naive (materializes K x N intermediates).
+    """
+    gh = g_hi[:, None]
+    gl = g_lo[:, None]
+    m = jnp.max(gh - u_hi, axis=0, keepdims=True)
+    e_hi, e_lo = _exp_terms(u_hi, u_lo, gh, gl, m)
+    K = u_hi.shape[0]
+    K_pad = 1 << (K - 1).bit_length()
+    if K_pad != K:
+        e_hi = jnp.pad(e_hi, ((0, K_pad - K), (0, 0)))
+        e_lo = jnp.pad(e_lo, ((0, K_pad - K), (0, 0)))
+    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)
+    l_hi, l_lo = dd_log_pos(s_hi, s_lo)
+    t_hi, t_e = two_sum(l_hi, m)
+    return t_hi.reshape(-1), (l_lo + t_e).reshape(-1)
+
+
+@jax.jit
+def lognum_dd_ref(u_hi, u_lo, ld_hi, ld_lo, m_k):
+    """Pure-jnp reference of ``lognum_dd``."""
+    m = m_k[:, None]
+    e_hi, e_lo = _exp_terms(u_hi, u_lo, -ld_hi[None, :], -ld_lo[None, :], m)
+    N = u_hi.shape[1]
+    N_pad = 1 << (N - 1).bit_length()
+    if N_pad != N:
+        e_hi = jnp.pad(e_hi, ((0, 0), (0, N_pad - N)))
+        e_lo = jnp.pad(e_lo, ((0, 0), (0, N_pad - N)))
+    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=1)
+    lh, ll = dd_log_pos(s_hi.reshape(-1), s_lo.reshape(-1))
+    t_hi, t_e = two_sum(lh, m_k)
+    return t_hi, ll + t_e
+
+
 def _logden_kernel(uh_ref, ul_ref, gh_ref, gl_ref, oh_ref, ol_ref):
     """One (K, TILE_N) tile: logden over axis 0 in double-word arithmetic."""
     uh = uh_ref[:, :]
@@ -116,6 +164,8 @@ def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
     """
     K, N = u_hi.shape
     K_pad = 1 << (K - 1).bit_length()
+    if tile_n is None:
+        tile_n = _pick_tile(K_pad)
     n_pad = (-N) % tile_n
 
     if K_pad != K or n_pad:
@@ -128,7 +178,11 @@ def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
     gh = g_hi.reshape(K_pad, 1)
     gl = g_lo.reshape(K_pad, 1)
 
-    out_hi, out_lo = pl.pallas_call(
+    # Mosaic cannot legalize the int64 grid/index arithmetic that global
+    # x64 mode produces; trace the kernel in an x64-off scope (all operands
+    # are f32, so no semantics change).
+    with jax.enable_x64(False):
+        out_hi, out_lo = pl.pallas_call(
         _logden_kernel,
         grid=grid,
         in_specs=[
@@ -145,8 +199,8 @@ def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
             jax.ShapeDtypeStruct((1, N + n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, N + n_pad), jnp.float32),
         ],
-        interpret=interpret,
-    )(u_hi, u_lo, gh, gl)
+            interpret=interpret,
+        )(u_hi, u_lo, gh, gl)
     return out_hi.reshape(-1)[:N], out_lo.reshape(-1)[:N]
 
 
@@ -182,6 +236,8 @@ def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False):
     Returns (lognum_hi, lognum_lo): (K,) f32 pairs, lognum = log(s) + m_k.
     """
     K, N = u_hi.shape
+    if tile_n is None:
+        tile_n = _pick_tile(K)
     n_pad = (-N) % tile_n
     if n_pad:
         u_hi = jnp.pad(u_hi, ((0, 0), (0, n_pad)), constant_values=_PAD_U)
@@ -191,7 +247,8 @@ def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False):
     Np = N + n_pad
     grid = (Np // tile_n,)
 
-    s_hi, s_lo = pl.pallas_call(
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
         _lognum_kernel,
         grid=grid,
         in_specs=[
@@ -209,8 +266,8 @@ def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False):
             jax.ShapeDtypeStruct((K, 1), jnp.float32),
             jax.ShapeDtypeStruct((K, 1), jnp.float32),
         ],
-        interpret=interpret,
-    )(u_hi, u_lo, ld_hi.reshape(1, Np), ld_lo.reshape(1, Np), m_k.reshape(K, 1))
+            interpret=interpret,
+        )(u_hi, u_lo, ld_hi.reshape(1, Np), ld_lo.reshape(1, Np), m_k.reshape(K, 1))
 
     lh, ll = dd_log_pos(s_hi.reshape(K), s_lo.reshape(K))
     t_hi, t_e = two_sum(lh, m_k)

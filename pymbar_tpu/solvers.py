@@ -373,6 +373,25 @@ def solve_mbar_once(
         if method == "adaptive":
             results = adaptive(u_dev, N_dev, f_dev, tol=tol, options=options)
             f_k_nonzero = np.asarray(results["x"])
+        elif method == "BFGS":
+            # Device-resident BFGS on the f_0-pinned objective — the
+            # reference's JAX-protocol path (mbar_solvers.py:820-834).
+            import jax.scipy.optimize as jopt
+
+            def obj(x):
+                return mbar_objective(
+                    u_dev, N_dev, jnp.concatenate([jnp.zeros(1, dtype=x.dtype), x])
+                )
+
+            jax_results = jopt.minimize(
+                obj,
+                f_dev[1:],
+                method="BFGS",
+                tol=tol,
+                options=dict(maxiter=options.get("maxiter", 10000)),
+            )
+            f_k_nonzero = pad(jax_results.x)
+            results = dict(x=jax_results.x, success=bool(jax_results.success))
         elif method in scipy_minimize_options:
             hess_arg = None if method in scipy_nohess_options else hess
             scipy_opts = {

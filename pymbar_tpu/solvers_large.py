@@ -1,0 +1,161 @@
+"""TPU-scale MBAR solver: f32 phase + double-word Newton polish.
+
+The production path for K x N problems in the 10^9-element range
+(BASELINE.md targets).  The reduced-potential matrix is held as two float32
+planes (hi, lo) — the same 8 bytes/element as f64 — and the solve runs in
+two phases:
+
+1. **f32 phase** — the standard adaptive solver (`solvers._adaptive_while`)
+   on the hi plane alone, to ~1e-5 relative accuracy, at full f32 speed.
+2. **double-word Newton polish** — a handful of Newton iterations where the
+   two hot logsumexp reductions run through the fused Pallas double-word
+   kernels (:mod:`pymbar_tpu.ops.pallas_kernels`, ~1e-13 effective
+   precision) and the K x K Hessian comes from the f32 Gram (the Newton
+   direction needs no more precision; convergence is certified on the
+   compensated gradient).
+
+This replaces XLA's f64 emulation on the hot path (measured ~5x slower than
+f32) without giving up the 1e-12-level convergence the MBAR tolerances
+demand (SURVEY.md §7 hard part #1).
+"""
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pymbar_tpu.config import on_tpu
+from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
+from pymbar_tpu.ops.mbar_core import mbar_w_nk_gram
+from pymbar_tpu.ops.pallas_kernels import (
+    logden_dd,
+    logden_dd_ref,
+    lognum_dd,
+    lognum_dd_ref,
+)
+from pymbar_tpu.solvers import _adaptive_while
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["solve_mbar_dd", "split_u_kn_streamed"]
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _split_inplaceish(u64):
+    hi = u64.astype(jnp.float32)
+    lo = (u64 - hi.astype(u64.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def split_u_kn_streamed(u64):
+    """Split a float64 u_kn into (hi, lo) f32 planes, donating the input."""
+    return _split_inplaceish(jnp.asarray(u64))
+
+
+@jax.jit
+def _m_k_pass(u_hi, ld_hi):
+    """f32 stabilizing max over n of (-logden - u) per state (one cheap pass)."""
+    return jnp.max(-ld_hi[None, :] - u_hi, axis=1)
+
+
+@jax.jit
+def _newton_update(f, lognum64, gram, colsum, N_k64, gamma):
+    """One f64 K-vector Newton step from the dd lognum and the f32 Gram."""
+    g = -N_k64 * (1.0 - jnp.exp(f + lognum64))
+    gram = gram.astype(jnp.float64)
+    colsum = colsum.astype(jnp.float64)
+    H = -(gram * N_k64[None, :] * N_k64[:, None] - jnp.diag(colsum * N_k64))
+    A = H[1:, 1:]
+    cho = jax.scipy.linalg.cho_factor(A)
+    dx1 = jax.scipy.linalg.cho_solve(cho, g[1:])
+    dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
+    f_new = f - gamma * dx
+    f_new = f_new - f_new[0]
+    return f_new, g
+
+
+def solve_mbar_dd(
+    u_hi,
+    u_lo,
+    N_k,
+    f_k=None,
+    tol=1.0e-12,
+    f32_tol=3.0e-6,
+    f32_maxiter=300,
+    polish_maxiter=12,
+    gamma=1.0,
+):
+    """Solve the MBAR equations on double-word-split reduced potentials.
+
+    Parameters
+    ----------
+    u_hi, u_lo : (K, N) float32
+        Double-word planes of the (preconditioned) reduced potentials.
+    N_k : (K,) — all states must have samples (empty-state fill is the
+        caller's job, as in solve_mbar_for_all_states).
+    f_k : optional initial guess (float64).
+    tol : relative convergence tolerance of the polish phase.
+
+    Returns (f_k float64, info dict with gnorm/iteration counts).
+    """
+    u_hi = jnp.asarray(u_hi)
+    u_lo = jnp.asarray(u_lo)
+    K = u_hi.shape[0]
+    N_k64 = jnp.asarray(np.asarray(N_k), dtype=jnp.float64)
+    f64 = jnp.zeros(K, dtype=jnp.float64) if f_k is None else jnp.asarray(f_k, jnp.float64)
+    f64 = f64 - f64[0]
+
+    # ---- phase 1: f32 adaptive solve on the hi plane
+    f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
+        u_hi,
+        N_k64.astype(jnp.float32),
+        f64.astype(jnp.float32),
+        jnp.asarray(gamma, jnp.float32),
+        jnp.asarray(f32_tol, jnp.float32),
+        f32_maxiter,
+        2,
+        "chol",
+    )
+    f64 = f32_out.astype(jnp.float64)
+    f64 = f64 - f64[0]
+
+    # ---- phase 2: double-word Newton polish
+    logN = jnp.log(N_k64)
+    gamma64 = jnp.asarray(gamma, jnp.float64)
+    it = 0
+    max_delta = np.inf
+    g64 = None
+    # Pallas kernels on TPU; the pure-jnp dd reference elsewhere (same math).
+    _logden = logden_dd if on_tpu() else logden_dd_ref
+    _lognum = lognum_dd if on_tpu() else lognum_dd_ref
+
+    for it in range(1, polish_maxiter + 1):
+        gh, gl = dd_from_f64(f64 + logN)
+        ldh, ldl = _logden(u_hi, u_lo, gh, gl)
+        m_k = _m_k_pass(u_hi, ldh)
+        lnh, lnl = _lognum(u_hi, u_lo, ldh, ldl, m_k)
+        lognum64 = dd_to_f64(lnh, lnl)
+
+        gram, colsum = mbar_w_nk_gram(u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32))
+        f_new, g64 = _newton_update(f64, lognum64, gram, colsum, N_k64, gamma64)
+
+        f_new_np = np.asarray(f_new)
+        f_old_np = np.asarray(f64)
+        div = np.abs(f_new_np[1:])
+        div[div < min(1.0e-8, tol)] = 1.0
+        max_delta = float(np.max(np.abs(f_new_np[1:] - f_old_np[1:]) / div))
+        f64 = f_new
+        if max_delta < tol:
+            break
+
+    gnorm = float(np.linalg.norm(np.asarray(g64))) if g64 is not None else np.nan
+    return np.asarray(f64), dict(
+        converged=max_delta < tol,
+        f32_iterations=int(it32),
+        f32_converged=bool(done32),
+        polish_iterations=it,
+        max_delta=max_delta,
+        gnorm=gnorm,
+    )

@@ -1,0 +1,87 @@
+"""Tests of the two-phase double-word solver (CPU path: jnp dd reference).
+
+Gate: the dd solve must agree with the XLA-f64 adaptive solve to ~1e-10 —
+the single-chip analog of the BASELINE "delta_f vs CPU pymbar <= 1e-8"
+requirement.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
+from pymbar_tpu.ops.mbar_core import (
+    _logden_direct,
+    _lognum_direct,
+    mbar_gradient,
+    precondition_u_kn,
+)
+from pymbar_tpu.ops.pallas_kernels import logden_dd_ref, lognum_dd_ref
+from pymbar_tpu.solvers import _adaptive_while
+from pymbar_tpu.solvers_large import solve_mbar_dd
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(5)
+    K, npk = 32, 256
+    N = K * npk
+    O = np.linspace(0, 4, K)
+    Kf = np.linspace(1, 3, K)
+    x = np.repeat(O, npk) + rng.normal(0, 1.0, N) / np.sqrt(np.repeat(Kf, npk))
+    u64 = jnp.asarray(0.5 * Kf[:, None] * (x[None, :] - O[:, None]) ** 2)
+    N_k = np.full(K, float(npk))
+    # precondition once (as the production pipeline does)
+    u64 = precondition_u_kn(u64, jnp.asarray(N_k), jnp.zeros(K, jnp.float64))
+    return u64, N_k
+
+
+def test_dd_reductions_match_f64(problem):
+    u64, N_k = problem
+    K = u64.shape[0]
+    f = jnp.asarray(np.linspace(0, 0.5, K))
+
+    ld64 = _logden_direct(u64, jnp.asarray(N_k), f)
+    ln64 = _lognum_direct(u64, ld64)
+
+    uh, ul = dd_from_f64(u64)
+    gh, gl = dd_from_f64(f + jnp.log(jnp.asarray(N_k)))
+    ldh, ldl = logden_dd_ref(uh, ul, gh, gl)
+    assert float(jnp.max(jnp.abs(dd_to_f64(ldh, ldl) - ld64))) < 1e-11
+
+    m_k = np.asarray(jnp.max(-ld64[None, :] - u64, axis=1)).astype(np.float32)
+    lnh, lnl = lognum_dd_ref(uh, ul, ldh, ldl, jnp.asarray(m_k))
+    assert float(jnp.max(jnp.abs(dd_to_f64(lnh, lnl) - ln64))) < 1e-11
+
+
+def test_solve_mbar_dd_matches_f64_solve(problem):
+    u64, N_k = problem
+    K = u64.shape[0]
+
+    uh, ul = dd_from_f64(u64)
+    f_dd, info = solve_mbar_dd(uh, ul, N_k, tol=1e-12)
+    assert info["converged"]
+    assert info["f32_iterations"] > 0
+    assert info["polish_iterations"] >= 1
+
+    f64_ref, *_rest = _adaptive_while(
+        u64,
+        jnp.asarray(N_k),
+        jnp.zeros(K, jnp.float64),
+        jnp.asarray(1.0, jnp.float64),
+        jnp.asarray(1e-12, jnp.float64),
+        2000,
+        2,
+        "chol",
+    )
+    f64_ref = np.array(f64_ref)
+    f64_ref -= f64_ref[0]
+
+    assert np.max(np.abs(f_dd - f64_ref)) < 1e-9
+
+    # the dd gradient certificate
+    g = np.asarray(mbar_gradient(u64, jnp.asarray(N_k), jnp.asarray(f_dd)))
+    assert np.linalg.norm(g) < 1e-6
