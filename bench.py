@@ -177,6 +177,8 @@ def tpu_solve():
         solve_s=solve_s,
         f32_iterations=info["f32_iterations"],
         polish_iterations=info["polish_iterations"],
+        phase1_s=round(info.get("phase1_s", 0), 3),
+        phase2_s=round(info.get("phase2_s", 0), 3),
         converged=bool(info["converged"]),
         gnorm=info["gnorm"],
         delta_f_rmse_vs_analytic=delta_f_rmse,
@@ -274,6 +276,8 @@ def main():
                 converged=result["converged"],
                 f32_iterations=result["f32_iterations"],
                 polish_iterations=result["polish_iterations"],
+                phase1_s=result.get("phase1_s"),
+                phase2_s=result.get("phase2_s"),
                 gradient_norm=result["gnorm"],
                 delta_f_rmse_vs_analytic=result["delta_f_rmse_vs_analytic"],
                 delta_f_max_err_vs_f64=result["delta_f_max_err_vs_f64"],

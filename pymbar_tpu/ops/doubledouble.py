@@ -134,9 +134,12 @@ _LN2_MID, _LN2_LO = _dd_const(
 )
 _INV_LN2 = 1.4426950408889634
 
-# Double-word 1/n! for n = 1..13: exp(r) = 1 + r * sum_{n>=1} r^(n-1)/n!.
-# Truncation at n=13 leaves r^14/14! <= 5e-19 on |r| <= ln2/2.
-_COEF = [_dd_const(1.0 / math.factorial(n)) for n in range(1, 14)]
+# Double-word 1/n! for the dd Horner head (n = 1..6).  The n >= 7 tail is
+# evaluated in plain f32: its value is <= r^7/7! ~ 9e-7 on |r| <= ln2/2, so
+# f32's 1e-7 relative error contributes <= ~1e-13 absolute — below the dd
+# noise floor, at a third of the flops of a full-dd degree-13 Horner.
+_COEF = [_dd_const(1.0 / math.factorial(n)) for n in range(1, 7)]
+_TAIL = [1.0 / math.factorial(n) for n in range(7, 14)]
 
 
 def _pow2_f32(ki):
@@ -170,9 +173,16 @@ def dd_exp_neg(a_hi, a_lo, clamp=-85.0):
     r_hi, r_lo = dd_add(s_hi, s_lo, -t_hi, -t_lo)
     r_lo = r_lo - k * f32(_LN2_LO)
 
-    # p = sum_{n>=1} r^(n-1)/n!, Horner in double-word.
-    p_hi = f32(_COEF[-1][0])
-    p_lo = f32(_COEF[-1][1])
+    # f32 tail: T = sum_{n>=7} r^(n-7)/n!; the Horner seed is c_6 + r*T,
+    # which the dd head then multiplies by r^5 to place every tail term at
+    # its right power.
+    t = f32(_TAIL[-1])
+    for c in reversed(_TAIL[:-1]):
+        t = t * r_hi + f32(c)
+    tail = r_hi * t
+
+    # p = sum_{n>=1} r^(n-1)/n!, dd Horner for the head (n = 1..6).
+    p_hi, p_lo = fast_two_sum(f32(_COEF[-1][0]) + tail, f32(_COEF[-1][1]))
     for c_hi, c_lo in reversed(_COEF[:-1]):
         p_hi, p_lo = dd_mul(p_hi, p_lo, r_hi, r_lo)
         p_hi, p_lo = dd_add(p_hi, p_lo, f32(c_hi), f32(c_lo))
