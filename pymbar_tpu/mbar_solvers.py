@@ -24,6 +24,7 @@ from pymbar_tpu.solvers import (
     JAX_SOLVER_PROTOCOL,
     ROBUST_SOLVER_PROTOCOL,
     adaptive,
+    anderson,
     scipy_minimize_options,
     scipy_nohess_options,
     scipy_root_options,
@@ -42,6 +43,7 @@ __all__ = [
     "mbar_log_W_nk",
     "mbar_W_nk",
     "adaptive",
+    "anderson",
     "precondition_u_kn",
     "solve_mbar_once",
     "solve_mbar",

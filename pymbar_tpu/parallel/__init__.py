@@ -7,11 +7,15 @@ devices, logsumexp/Gram reductions finished with psum over ICI.
 
 from pymbar_tpu.parallel.sharding import (
     default_mesh,
+    mesh_2d,
     shard_u_kn,
     sharded_core_stats,
     sharded_gram,
     sharded_log_denominator,
     sharded_solve_mbar,
+    sharded2d_core_stats,
+    sharded2d_solve_mbar,
+    shard_u_kn_2d,
 )
 
 __all__ = [
@@ -21,4 +25,8 @@ __all__ = [
     "sharded_gram",
     "sharded_log_denominator",
     "sharded_solve_mbar",
+    "mesh_2d",
+    "shard_u_kn_2d",
+    "sharded2d_core_stats",
+    "sharded2d_solve_mbar",
 ]

@@ -246,3 +246,177 @@ def sharded_solve_mbar(
         max_delta=float(max_delta),
         gnorm=float(np.linalg.norm(np.asarray(g))),
     )
+
+
+# -----------------------------------------------------------------------------
+# 2-D (K x N) mesh: for state counts too large for a single chip's VMEM/HBM
+# (SURVEY.md §5: K >= 4096 stress configs).  States shard over 'k', samples
+# over 'n'; the per-sample mixture reduction finishes with pmax+psum over
+# 'k', the per-state reductions over 'n'.
+# -----------------------------------------------------------------------------
+
+
+def mesh_2d(k_devices, n_devices, axis_names=("k", "n")):
+    """2-D mesh: first axis shards states, second shards samples."""
+    devices = np.asarray(jax.devices()[: k_devices * n_devices]).reshape(
+        k_devices, n_devices
+    )
+    return Mesh(devices, axis_names)
+
+
+def shard_u_kn_2d(u_kn, N_k, f_k, mesh):
+    """Place u_kn on a 2-D mesh, padding K and N to the mesh shape.
+
+    Pad rows get u = +inf and N_k = 0 (their exp terms vanish exactly under
+    the pad masking in the local kernels); pad columns get u = +inf.
+    Returns (u_sharded, N_k_padded, f_k_padded, (k_pad, n_pad)).
+    """
+    u_kn = np.asarray(u_kn)
+    K, N = u_kn.shape
+    kd, nd = mesh.devices.shape
+    k_pad = (-K) % kd
+    n_pad = (-N) % nd
+    if k_pad or n_pad:
+        u_kn = np.pad(u_kn, ((0, k_pad), (0, n_pad)), constant_values=np.inf)
+    N_k = np.pad(np.asarray(N_k, dtype=np.float64), (0, k_pad))
+    f_k = np.pad(np.asarray(f_k, dtype=np.float64), (0, k_pad))
+    sharding = NamedSharding(mesh, P("k", "n"))
+    return jax.device_put(u_kn, sharding), N_k, f_k, (k_pad, n_pad)
+
+
+def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
+    """(objective, gradient, f_sci) on a 2-D (k, n) mesh.
+
+    Collective pattern: logden needs the FULL state mixture per sample —
+    pmax then psum over 'k'; the per-state reductions (lognum, objective)
+    finish over 'n'.  K-sized outputs come back k-sharded and are gathered
+    by the host on materialization.
+    """
+
+    def local(u_local, N_k_local, f_local):
+        pad_col = ~jnp.isfinite(u_local[0, :])
+
+        # --- log denominator: partial over the local k-block, then 'k'
+        a = f_local[:, None] - u_local
+        a = jnp.where(jnp.isfinite(a), a, -jnp.inf)
+        m_loc = jnp.max(a, axis=0)
+        m = jax.lax.pmax(m_loc, "k")
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jax.lax.psum(
+            jnp.sum(N_k_local[:, None] * jnp.exp(a - m[None, :]), axis=0), "k"
+        )
+        logden = jnp.log(s) + m
+        logden = jnp.where(pad_col, 0.0, logden)
+
+        obj_local = jnp.sum(logden)
+        # logden is replicated across the 'k' axis after the psum; the pmean
+        # over 'k' is exact (identical values) and makes the replication
+        # statically provable for shard_map's out_specs check.
+        obj = jax.lax.pmean(jax.lax.psum(obj_local, "n"), "k") - jax.lax.psum(
+            jnp.dot(N_k_local, f_local), "k"
+        )
+
+        # --- per-state logsumexp over the sharded n axis
+        b = -logden[None, :] - u_local
+        b = jnp.where(jnp.isfinite(b), b, -jnp.inf)
+        bm_loc = jnp.max(b, axis=1)
+        bm = jax.lax.pmax(bm_loc, "n")
+        bm = jnp.where(jnp.isfinite(bm), bm, 0.0)
+        sb = jax.lax.psum(jnp.sum(jnp.exp(b - bm[:, None]), axis=1), "n")
+        lognum = jnp.log(sb) + bm
+
+        grad = -N_k_local * (1.0 - jnp.exp(f_local + lognum))
+        f_sci = -lognum
+        return obj, grad, f_sci
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("k", "n"), P("k"), P("k")),
+        out_specs=(P(), P("k"), P("k")),
+    )
+    N_sh = jax.device_put(jnp.asarray(N_k), NamedSharding(mesh, P("k")))
+    f_sh = jax.device_put(jnp.asarray(f_k), NamedSharding(mesh, P("k")))
+    return fn(u_sharded, N_sh, f_sh)
+
+
+def sharded2d_solve_mbar(
+    u_kn,
+    N_k,
+    f_k=None,
+    mesh=None,
+    tol=1.0e-12,
+    maxiter=2000,
+    m_history=5,
+):
+    """Anderson-accelerated MBAR solve on a 2-D (k, n) mesh.
+
+    Hessian-free by design: at K >= 4096 the K x K Gram across k-shards
+    would need ring collectives, while Anderson mixing needs only the SC
+    fixed-point map (one fused sharded pass pair per iteration) plus O(K m)
+    host algebra.  All states must have samples.
+    """
+    if mesh is None:
+        raise ValueError("sharded2d_solve_mbar requires an explicit 2-D mesh")
+
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    K = u_kn.shape[0]
+    N_k_in = np.asarray(N_k, dtype=np.float64)
+    f0 = np.zeros(K) if f_k is None else np.asarray(f_k, dtype=np.float64)
+    f0 = f0 - f0[0]
+
+    u_sh, N_pad, f_pad, (k_pad, n_pad) = shard_u_kn_2d(u_kn, N_k_in, f0, mesh)
+    Kp = len(N_pad)
+
+    def sc(fv):
+        # pad states carry N_k = 0: they never enter the denominator; their
+        # f_sci values are ignored (re-pinned below).
+        _, _, f_sci = sharded2d_core_stats(u_sh, N_pad, fv, mesh)
+        f_sci = np.asarray(f_sci, dtype=np.float64)
+        return f_sci - f_sci[0]
+
+    f = f_pad.copy()
+    hist_x, hist_r = [], []
+    success = False
+    max_delta = np.inf
+    it = 0
+    for it in range(1, maxiter + 1):
+        gx = sc(f)
+        gx[K:] = 0.0  # pad states
+        r = gx - f
+        hist_x.append(gx)
+        hist_r.append(r)
+        if len(hist_x) > m_history:
+            hist_x.pop(0)
+            hist_r.pop(0)
+
+        if len(hist_r) > 1:
+            R = np.stack(hist_r, axis=1)
+            dR = R[:, :-1] - R[:, -1:]
+            try:
+                gamma_c, *_ = np.linalg.lstsq(dR, R[:, -1], rcond=None)
+                alpha = np.concatenate([-gamma_c, [1.0 + np.sum(gamma_c)]])
+                f_new = np.stack(hist_x, axis=1) @ alpha
+            except np.linalg.LinAlgError:
+                f_new = gx
+        else:
+            f_new = gx
+        f_new = f_new - f_new[0]
+        f_new[K:] = 0.0
+
+        div = np.abs(f_new[1:K])
+        div[div < min(1.0e-8, tol)] = 1.0
+        max_delta = float(np.max(np.abs(f_new[1:K] - f[1:K]) / div))
+        f = f_new
+        if max_delta < tol:
+            success = True
+            break
+
+    _, g, _ = sharded2d_core_stats(u_sh, N_pad, f, mesh)
+    g = np.asarray(g)[:K]
+    return np.asarray(f[:K]), dict(
+        success=success,
+        iterations=it,
+        max_delta=max_delta,
+        gnorm=float(np.linalg.norm(g)),
+    )

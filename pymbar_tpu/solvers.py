@@ -53,6 +53,7 @@ __all__ = [
     "ROBUST_SOLVER_PROTOCOL",
     "BOOTSTRAP_SOLVER_PROTOCOL",
     "adaptive",
+    "anderson",
     "solve_mbar_once",
     "solve_mbar",
     "solve_mbar_for_all_states",
@@ -320,6 +321,92 @@ def adaptive(u_kn, N_k, f_k, tol=1.0e-8, options=None):
     return dict(success=success, message=message, x=f_out)
 
 
+def anderson(u_kn, N_k, f_k, tol=1.0e-12, options=None):
+    """Anderson-accelerated self-consistent iteration (Hessian-free).
+
+    A NEW solver (no reference analog): accelerates the Eq. C3 fixed point
+    with Anderson mixing over an ``m``-deep residual history.  Each iteration
+    costs exactly one fused K×N pass pair (logden + lognum) and O(K m^2) host
+    algebra — no K×K Hessian, no Gram matmul — which makes it the method of
+    choice when K is too large to afford Newton (the K>=4096 mesh configs)
+    or as a cheap warm-up phase.
+
+    Options: maxiter (default 1000), m (history depth, default 5),
+    beta (mixing, default 1.0), verbose.
+    Returns dict(success, message, x) like ``adaptive``.
+    """
+    options = dict(options or {})
+    maxiter = int(options.get("maxiter", 1000))
+    m = int(options.get("m", 5))
+    beta = float(options.get("beta", 1.0))
+    verbose = options.get("verbose", False)
+
+    u_kn = jnp.asarray(u_kn)
+    N_k = jnp.asarray(N_k, dtype=u_kn.dtype)
+    f = np.asarray(f_k, dtype=np.float64)
+    f = f - f[0]
+
+    @jax.jit
+    def sc(fv):
+        _, _, f_sci = core_stats(u_kn, N_k, fv)
+        return f_sci - f_sci[0]
+
+    hist_x = []
+    hist_r = []
+    success = False
+    max_delta = np.inf
+    it = 0
+    for it in range(1, maxiter + 1):
+        gx = np.asarray(sc(jnp.asarray(f, dtype=u_kn.dtype)), dtype=np.float64)
+        r = gx - f
+
+        hist_x.append(gx)
+        hist_r.append(r)
+        if len(hist_x) > m:
+            hist_x.pop(0)
+            hist_r.pop(0)
+
+        if len(hist_r) > 1:
+            # alpha minimizing || R alpha ||, sum(alpha) = 1 — solved as an
+            # unconstrained lstsq on residual differences.
+            R = np.stack(hist_r, axis=1)  # (K, q)
+            dR = R[:, :-1] - R[:, -1:]
+            try:
+                gamma_c, *_ = np.linalg.lstsq(dR, R[:, -1], rcond=None)
+                alpha = np.concatenate([-gamma_c, [1.0 + np.sum(gamma_c)]])
+            except np.linalg.LinAlgError:
+                alpha = np.zeros(R.shape[1])
+                alpha[-1] = 1.0
+            X = np.stack(hist_x, axis=1)
+            f_new = X @ alpha
+            if beta != 1.0:
+                f_new = (1 - beta) * (np.stack([x - r for x, r in zip(hist_x, hist_r)], axis=1) @ alpha) + beta * f_new
+        else:
+            f_new = gx
+
+        f_new = f_new - f_new[0]
+        div = np.abs(f_new[1:])
+        div[div < min(1.0e-8, tol)] = 1.0
+        max_delta = float(np.max(np.abs(f_new[1:] - f[1:]) / div))
+        f = f_new
+        if verbose:
+            logger.info(f"anderson iteration {it}: max_delta = {max_delta:.3e}")
+        if max_delta < tol:
+            success = True
+            break
+
+    message = (
+        "Convergence achieved by change in f with respect to previous guess."
+        if success
+        else "Did not converge."
+    )
+    if not success:
+        logger.warning(
+            f"anderson: did not converge (max_delta={max_delta:e}, maxiter={maxiter})"
+        )
+    return dict(success=success, message=message, x=jnp.asarray(f))
+
+
 # -----------------------------------------------------------------------------
 # Protocol machinery
 # -----------------------------------------------------------------------------
@@ -372,6 +459,9 @@ def solve_mbar_once(
     with warnings.catch_warnings(record=True) as w:
         if method == "adaptive":
             results = adaptive(u_dev, N_dev, f_dev, tol=tol, options=options)
+            f_k_nonzero = np.asarray(results["x"])
+        elif method == "anderson":
+            results = anderson(u_dev, N_dev, f_dev, tol=tol, options=options)
             f_k_nonzero = np.asarray(results["x"])
         elif method == "BFGS":
             # Device-resident BFGS on the f_0-pinned objective — the

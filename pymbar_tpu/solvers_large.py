@@ -6,7 +6,10 @@ planes (hi, lo) — the same 8 bytes/element as f64 — and the solve runs in
 two phases:
 
 1. **f32 phase** — the standard adaptive solver (`solvers._adaptive_while`)
-   on the hi plane alone, to ~1e-5 relative accuracy, at full f32 speed.
+   on the hi plane alone, at full f32 speed.  Its achievable relative
+   accuracy floors at ~1e-3 in the RELATIVE convergence metric (states
+   with near-zero f_k inflate it), so the default tolerance stops there and
+   leaves the rest to the polish.
 2. **double-word Newton polish** — a handful of Newton iterations where the
    two hot logsumexp reductions run through the fused Pallas double-word
    kernels (:mod:`pymbar_tpu.ops.pallas_kernels`, ~1e-13 effective
@@ -82,7 +85,7 @@ def solve_mbar_dd(
     N_k,
     f_k=None,
     tol=1.0e-12,
-    f32_tol=3.0e-5,
+    f32_tol=1.0e-3,
     f32_maxiter=40,
     polish_maxiter=12,
     gamma=1.0,

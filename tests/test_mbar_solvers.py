@@ -87,6 +87,7 @@ def _run_protocol(bundle, protocol):
     "protocol",
     [
         "adaptive",
+        "anderson",
         "hybr",
         "lm",
         "L-BFGS-B",

@@ -106,3 +106,40 @@ def test_shard_padding_is_exact(problem):
 
 def test_mesh_device_count():
     assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+
+
+# -----------------------------------------------------------------------------
+# 2-D (K x N) mesh
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_2d_core_stats_match_single_device(problem, shape):
+    from pymbar_tpu.parallel.sharding import mesh_2d, shard_u_kn_2d, sharded2d_core_stats
+
+    u_kn, N_k, f_k, _ = problem
+    mesh = mesh_2d(*shape)
+    # Pad check: 4 states over k_devices=2/4 and 2600 samples over n.
+    u_sh, N_pad, f_pad, pads = shard_u_kn_2d(u_kn, N_k, f_k, mesh)
+
+    obj_s, g_s, fs_s = sharded2d_core_stats(u_sh, N_pad, f_pad, mesh)
+    obj_1, g_1, fs_1 = core_stats(
+        jnp.asarray(u_kn), jnp.asarray(N_k), jnp.asarray(f_k)
+    )
+    K = u_kn.shape[0]
+    assert_allclose(float(obj_s), float(obj_1), rtol=1e-12)
+    assert_allclose(np.asarray(g_s)[:K], np.asarray(g_1), rtol=1e-10, atol=1e-10)
+    assert_allclose(np.asarray(fs_s)[:K], np.asarray(fs_1), rtol=1e-12)
+
+
+def test_2d_solve_matches_mbar(problem):
+    from pymbar_tpu.parallel.sharding import mesh_2d, sharded2d_solve_mbar
+
+    u_kn, N_k, f_k, test = problem
+    mesh = mesh_2d(2, 4)
+    f_2d, info = sharded2d_solve_mbar(u_kn, N_k, mesh=mesh, tol=1e-12, maxiter=500)
+    assert info["success"]
+    assert info["gnorm"] < 1e-6
+
+    mbar = MBAR(u_kn, N_k.astype(int))
+    assert_array_almost_equal(f_2d, mbar.f_k, decimal=9)
