@@ -142,18 +142,29 @@ def _adaptive_candidates(u_kn, N_k, f_k, gamma, nr_method="lstsq"):
     return f_sci, g_sci, gnorm_sci, f_nr, g_nr, gnorm_nr
 
 
-def _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol):
-    """Relative-change convergence metrics (reference mbar_solvers.py:627-640)."""
-    div = jnp.abs(f_new[1:])
-    zeroed = div < jnp.minimum(1.0e-8, tol)
-    div = jnp.where(zeroed, 1.0, div)
+def _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol, delta_mode="relative"):
+    """Convergence metrics.
+
+    'relative' reproduces the reference (mbar_solvers.py:627-640): divide by
+    |f_k|, which is pathological when some f_k are near zero (their noise
+    never shrinks relative to them).  'mixed' divides by max(|f_k|, 1) — an
+    absolute criterion for small values — used by the non-parity fast paths.
+    """
+    if delta_mode == "mixed":
+        div = jnp.maximum(jnp.abs(f_new[1:]), 1.0)
+    else:
+        div = jnp.abs(f_new[1:])
+        zeroed = div < jnp.minimum(1.0e-8, tol)
+        div = jnp.where(zeroed, 1.0, div)
     max_delta = jnp.max(jnp.abs(f_new[1:] - f_old[1:]) / div)
     max_diff = jnp.max(jnp.abs(f_sci[1:] - f_nr[1:]) / div)
     return max_delta, max_diff
 
 
-@partial(jax.jit, static_argnames=("maxiter", "min_sc_iter", "nr_method"))
-def _adaptive_while(u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter, nr_method="lstsq"):
+@partial(jax.jit, static_argnames=("maxiter", "min_sc_iter", "nr_method", "delta_mode"))
+def _adaptive_while(
+    u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter, nr_method="lstsq", delta_mode="relative"
+):
     """Entire adaptive loop as one on-device lax.while_loop.
 
     Carries (iteration, f_k, sci_iter, nr_iter, max_delta, done).  Semantics
@@ -180,7 +191,7 @@ def _adaptive_while(u_kn, N_k, f_k, gamma, tol, maxiter, min_sc_iter, nr_method=
         sci_iter = sci_iter + jnp.where(take_sci, 1, 0)
         nr_iter = nr_iter + jnp.where(take_sci, 0, 1)
 
-        max_delta, max_diff = _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol)
+        max_delta, max_diff = _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol, delta_mode)
         done = jnp.logical_or(
             jnp.isnan(max_delta),
             jnp.logical_and(max_delta < tol, max_diff < jnp.sqrt(tol)),

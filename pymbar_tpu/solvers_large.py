@@ -7,9 +7,9 @@ two phases:
 
 1. **f32 phase** — the standard adaptive solver (`solvers._adaptive_while`)
    on the hi plane alone, at full f32 speed.  Its achievable relative
-   accuracy floors at ~1e-3 in the RELATIVE convergence metric (states
-   with near-zero f_k inflate it), so the default tolerance stops there and
-   leaves the rest to the polish.
+   convergence is measured with the 'mixed' metric (divide by
+   max(|f_k|, 1)) because the reference's purely relative metric never
+   settles for states with near-zero f_k.
 2. **double-word Newton polish** — a handful of Newton iterations where the
    two hot logsumexp reductions run through the fused Pallas double-word
    kernels (:mod:`pymbar_tpu.ops.pallas_kernels`, ~1e-13 effective
@@ -85,7 +85,7 @@ def solve_mbar_dd(
     N_k,
     f_k=None,
     tol=1.0e-12,
-    f32_tol=1.0e-3,
+    f32_tol=1.0e-4,
     f32_maxiter=40,
     polish_maxiter=12,
     gamma=1.0,
@@ -124,6 +124,7 @@ def solve_mbar_dd(
         f32_maxiter,
         2,
         "chol",
+        "mixed",
     )
     f64 = f32_out.astype(jnp.float64)
     f64 = (f64 - f64[0]).block_until_ready()
