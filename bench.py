@@ -179,6 +179,7 @@ def tpu_solve():
         polish_iterations=info["polish_iterations"],
         phase1_s=round(info.get("phase1_s", 0), 3),
         phase2_s=round(info.get("phase2_s", 0), 3),
+        polish_deltas=["%.1e" % d for d in info.get("deltas", [])],
         converged=bool(info["converged"]),
         gnorm=info["gnorm"],
         delta_f_rmse_vs_analytic=delta_f_rmse,
@@ -278,6 +279,7 @@ def main():
                 polish_iterations=result["polish_iterations"],
                 phase1_s=result.get("phase1_s"),
                 phase2_s=result.get("phase2_s"),
+                polish_deltas=result.get("polish_deltas"),
                 gradient_norm=result["gnorm"],
                 delta_f_rmse_vs_analytic=result["delta_f_rmse_vs_analytic"],
                 delta_f_max_err_vs_f64=result["delta_f_max_err_vs_f64"],

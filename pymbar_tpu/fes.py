@@ -297,12 +297,7 @@ class FES:
 
         # First-occurrence-ordered unique bins (reference appends bins in
         # sample order).
-        _, first_idx = np.unique(
-            (bin_n * weights_d).sum(axis=1) * 0 + np.arange(len(sample_label))
-            if False
-            else sample_label,
-            return_index=True,
-        )
+        _, first_idx = np.unique(sample_label, return_index=True)
         first_idx = np.sort(first_idx)
         nonzero_bins = [tuple(bin_n[i]) for i in first_idx]
         bin_label = {tuple(bin_n[i]): int(sample_label[i]) for i in first_idx}

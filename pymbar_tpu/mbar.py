@@ -714,7 +714,10 @@ class MBAR:
             A_n,
             u_kn,
             state_map,
-            return_theta=compute_uncertainty,
+            # return_theta alone must also produce Theta (the reference asks
+            # the inner call only for compute_uncertainty, mbar.py:1257-1262,
+            # and crashes on return_theta without uncertainties).
+            return_theta=compute_uncertainty or return_theta,
             uncertainty_method=uncertainty_method,
             warning_cutoff=warning_cutoff,
         )
@@ -799,7 +802,7 @@ class MBAR:
             A_in,
             u_n,
             state_map,
-            return_theta=(compute_uncertainty or compute_covariance),
+            return_theta=(compute_uncertainty or compute_covariance or return_theta),
             uncertainty_method=uncertainty_method,
             warning_cutoff=warning_cutoff,
         )

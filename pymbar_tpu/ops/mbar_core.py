@@ -47,6 +47,7 @@ __all__ = [
     "mbar_log_W_nk",
     "mbar_W_nk",
     "mbar_w_nk_gram",
+    "gram_f32_acc64",
     "precondition_u_kn",
 ]
 
@@ -297,6 +298,47 @@ def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
         colsum = colsum + jnp.sum(w, axis=1)
 
     return gram.astype(u_kn.dtype), colsum.astype(u_kn.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_chunks",))
+def gram_f32_acc64(u_kn32, N_k32, f_k32, num_chunks=64):
+    """Blocked Gram with f32 MXU matmuls per chunk and f64 chunk accumulation.
+
+    On TPU the f32 matmul's in-chunk accumulation error (~1e-6 relative over
+    ~1e4-sample chunks) is what limits Newton's contraction rate in the
+    double-word polish; summing the per-chunk K x K partials in (emulated)
+    f64 removes the cross-chunk part at negligible cost.  Returns
+    (gram, colsum) in f64.
+    """
+    K, N = u_kn32.shape
+    logden = log_denominator_n(u_kn32, N_k32, f_k32)
+    nc = max(1, N // num_chunks)
+    num_chunks = N // nc
+
+    def body(c, acc):
+        sl = jax.lax.dynamic_slice(u_kn32, (0, c * nc), (K, nc))
+        ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
+        w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
+        g = jnp.dot(w, w.T, preferred_element_type=jnp.float32)
+        return (
+            acc[0] + g.astype(jnp.float64),
+            acc[1] + jnp.sum(w, axis=1).astype(jnp.float64),
+        )
+
+    gram, colsum = jax.lax.fori_loop(
+        0,
+        num_chunks,
+        body,
+        (jnp.zeros((K, K), jnp.float64), jnp.zeros(K, jnp.float64)),
+    )
+    rem = N - nc * num_chunks
+    if rem > 0:
+        sl = u_kn32[:, nc * num_chunks :]
+        ldc = logden[nc * num_chunks :]
+        w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
+        gram = gram + jnp.dot(w, w.T, preferred_element_type=jnp.float32).astype(jnp.float64)
+        colsum = colsum + jnp.sum(w, axis=1).astype(jnp.float64)
+    return gram, colsum
 
 
 def mbar_w_nk_gram(u_kn, N_k, f_k):

@@ -49,8 +49,16 @@ def _pick_tile(K):
     """Largest 128-multiple tile width whose working set fits scoped VMEM.
 
     Empirically the kernel's live set is ~15 K*tile f32 buffers (two input
-    planes double-buffered plus dd intermediates); budget ~12 MB.
+    planes double-buffered plus dd intermediates); budget ~12 MB.  Beyond
+    K ~ 2048 even the minimum tile no longer fits — that K range belongs to
+    the K-sharded 2-D mesh (pymbar_tpu.parallel.mesh_2d), not one kernel.
     """
+    if K > 2048:
+        raise ValueError(
+            f"K={K} exceeds the single-kernel VMEM capacity (~2048 states); "
+            "shard states across chips with pymbar_tpu.parallel.mesh_2d / "
+            "sharded2d_solve_mbar instead."
+        )
     t = (12_000_000 // (60 * max(K, 1))) // 128 * 128
     return int(max(128, min(512, t)))
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from pymbar_tpu.config import on_tpu
 from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
-from pymbar_tpu.ops.mbar_core import mbar_w_nk_gram
+from pymbar_tpu.ops.mbar_core import gram_f32_acc64, mbar_w_nk_gram
 from pymbar_tpu.ops.pallas_kernels import (
     logden_dd,
     logden_dd_ref,
@@ -140,6 +140,7 @@ def solve_mbar_dd(
     converged = False
     at_noise_floor = False
     g64 = None
+    deltas = []
     # Pallas kernels on TPU; the pure-jnp dd reference elsewhere (same math).
     _logden = logden_dd if on_tpu() else logden_dd_ref
     _lognum = lognum_dd if on_tpu() else lognum_dd_ref
@@ -151,24 +152,28 @@ def solve_mbar_dd(
         lnh, lnl = _lognum(u_hi, u_lo, ldh, ldl, m_k)
         lognum64 = dd_to_f64(lnh, lnl)
 
-        gram, colsum = mbar_w_nk_gram(u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32))
+        gram, colsum = gram_f32_acc64(
+            u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
+        )
         f_new, g64 = _newton_update(f64, lognum64, gram, colsum, N_k64, gamma64)
 
         f_new_np = np.asarray(f_new)
         f_old_np = np.asarray(f64)
-        div = np.abs(f_new_np[1:])
-        div[div < min(1.0e-8, tol)] = 1.0
+        # mixed metric (see _adaptive_metrics): absolute for small |f_k|
+        div = np.maximum(np.abs(f_new_np[1:]), 1.0)
         max_delta = float(np.max(np.abs(f_new_np[1:] - f_old_np[1:]) / div))
+        deltas.append(max_delta)
         f64 = f_new
         if max_delta < tol:
             converged = True
             break
         # The dd kernels' evaluation noise (~1e-11 in lognum, amplified by
-        # N_k in the gradient) floors the achievable per-iteration delta at
-        # ~1e-8 relative; once Newton stops contracting below 1e-7 the
-        # iterate is as converged as the arithmetic allows (measured
-        # delta_f agreement with the full-f64 solve: ~2e-11).
-        if it >= 2 and max_delta < 1.0e-7 and max_delta > 0.3 * prev_delta:
+        # N_k in the gradient) makes the per-iteration deltas noise-dominated
+        # long before they reach tol; once Newton stops contracting below
+        # 3e-6 the iterate is as converged as the arithmetic allows (the
+        # bench cross-check measures ~3e-11 delta_f agreement with the
+        # full-f64 solve at this stopping rule).
+        if it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta:
             converged = True
             at_noise_floor = True
             break
@@ -182,6 +187,7 @@ def solve_mbar_dd(
         f32_converged=bool(done32),
         polish_iterations=it,
         max_delta=max_delta,
+        deltas=deltas,
         gnorm=gnorm,
         phase1_s=t_phase1,
         phase2_s=time.time() - t_phase2,

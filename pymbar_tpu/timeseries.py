@@ -50,12 +50,19 @@ __all__ = [
 
 
 def _fft_cross_corr(dA_n, dB_n):
-    """corr[t] = sum_n dA[n] dB[n+t] for t = 0..N-1, via zero-padded FFT."""
+    """corr[t] = sum_n dA[n] dB[n+t] for t = 0..N-1, via zero-padded FFT.
+
+    Lag 0 is recomputed directly so identities that the reference's direct
+    accumulation satisfies exactly (e.g. C(0) == 1 after normalization)
+    survive FFT roundoff.
+    """
     N = dA_n.size
     nfft = 1 << (2 * N - 1).bit_length()
     fA = np.fft.rfft(dA_n, nfft)
     fB = np.fft.rfft(dB_n, nfft)
-    return np.fft.irfft(np.conj(fA) * fB, nfft)[:N]
+    out = np.fft.irfft(np.conj(fA) * fB, nfft)[:N]
+    out[0] = np.dot(dA_n, dB_n)
+    return out
 
 
 def _symmetric_corr(dA_n, dB_n):
@@ -87,7 +94,7 @@ def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False):
     dA_n = A_n.astype(np.float64) - A_n.mean()
     dB_n = B_n.astype(np.float64) - B_n.mean()
 
-    sigma2_AB = (dA_n * dB_n).mean()
+    sigma2_AB = np.dot(dA_n, dB_n) / len(dA_n)
     if sigma2_AB == 0:
         raise ParameterError(
             "Sample covariance sigma_AB^2 = 0 -- cannot compute statistical inefficiency"
@@ -131,7 +138,7 @@ def statistical_inefficiency_multiple(A_kn, fast=False, return_correlation_funct
 
     mu = sum(np.sum(A_kn[k]) for k in range(K)) / float(N)
     dA_kn = [np.asarray(A_kn[k], dtype=np.float64) - mu for k in range(K)]
-    sigma2 = sum(np.sum(dA_kn[k] ** 2) for k in range(K)) / float(N)
+    sigma2 = sum(np.dot(dA_kn[k], dA_kn[k]) for k in range(K)) / float(N)
 
     # All per-trajectory autocorrelations in one FFT pass each; lag-t cross
     # terms then reduce to sums over trajectories with N_k > t.
@@ -197,7 +204,7 @@ def normalized_fluctuation_correlation_function(A_n, B_n=None, N_max=None, norm=
     dA_n = A_n.astype(np.float64) - mu_A
     dB_n = B_n.astype(np.float64) - mu_B
 
-    sigma2_AB = (dA_n * dB_n).mean()
+    sigma2_AB = np.dot(dA_n, dB_n) / len(dA_n)
     if sigma2_AB == 0:
         raise ParameterError(
             "Sample covariance sigma_AB^2 = 0 -- cannot compute statistical inefficiency"
@@ -247,7 +254,9 @@ def normalized_fluctuation_correlation_function_multiple(
     dA_kn = [np.asarray(A_kn[k], np.float64) - mu_A for k in range(K)]
     dB_kn = [np.asarray(B_kn[k], np.float64) - mu_B for k in range(K)]
 
-    sigma2_AB = sum(np.sum(dA_kn[k] * dB_kn[k]) for k in range(K)) / float(N)
+    # np.dot matches the lag-0 FFT replacement bit-for-bit (same kernel),
+    # keeping C(0) == 1 exact.
+    sigma2_AB = sum(np.dot(dA_kn[k], dB_kn[k]) for k in range(K)) / float(N)
 
     numer_t = np.zeros(N_max + 1, np.float64)
     denom_t = np.zeros(N_max + 1, np.float64)

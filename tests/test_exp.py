@@ -69,3 +69,19 @@ def test_exp_no_uncertainty():
     assert set(r.keys()) == {"Delta_f"}
     r = estimators.exp_gauss(w_F, compute_uncertainty=False)
     assert set(r.keys()) == {"Delta_f"}
+
+
+def test_exp_timeseries_correction():
+    """is_timeseries=True inflates the error bar via the statistical
+    inefficiency of the exponential weights."""
+    from pymbar_tpu.testsystems import correlated_timeseries_example
+
+    w = 1.0 + 0.2 * correlated_timeseries_example(N=20000, tau=10.0, seed=4).astype(float)
+    plain = estimators.exp(w)
+    corrected = estimators.exp(w, is_timeseries=True)
+    assert corrected["dDelta_f"] > plain["dDelta_f"]
+    assert np.isclose(corrected["Delta_f"], plain["Delta_f"])
+
+    g_plain = estimators.exp_gauss(w)
+    g_corr = estimators.exp_gauss(w, is_timeseries=True)
+    assert g_corr["dDelta_f"] > g_plain["dDelta_f"]

@@ -409,3 +409,35 @@ def test_bootstrap_deterministic_under_seed(fresh_ho_u_kn, n_bootstrap):
 
     np.testing.assert_equal(ref["Delta_f"], out["Delta_f"])
     np.testing.assert_equal(ref["dDelta_f"], out["dDelta_f"])
+
+
+def test_covariance_of_sums_matches_bruteforce(bundle_kln):
+    """The einsum vectorization must reproduce the reference's quadruple-loop
+    semantics exactly (checked against a direct loop implementation)."""
+    mbar = bundle_kln["mbar"]
+    theta = mbar.compute_free_energy_differences(return_theta=True)["Theta"]
+    K_chunk = 2
+    a = np.array([0.7, -1.3])
+
+    got = mbar.compute_covariance_of_sums(theta, K_chunk, a)
+
+    var_ij = np.square(np.asarray(theta))
+    n = len(a)
+    d2 = np.zeros([K_chunk, K_chunk])
+    for i in range(K_chunk):
+        for j in range(K_chunk):
+            for k in range(n):
+                d2[i, j] += a[k] ** 2 * var_ij[i + k * K_chunk, j + k * K_chunk]
+                for l in range(n):
+                    d2[i, j] += (
+                        a[k]
+                        * a[l]
+                        * (
+                            -var_ij[i + k * K_chunk, i + l * K_chunk]
+                            + var_ij[i + k * K_chunk, j + l * K_chunk]
+                            + var_ij[j + k * K_chunk, i + l * K_chunk]
+                            - var_ij[j + k * K_chunk, j + l * K_chunk]
+                        )
+                    )
+    want = np.sqrt(d2)
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)

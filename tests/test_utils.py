@@ -234,3 +234,25 @@ def test_ragged_layout_conversion():
     assert u_kn.shape == (2, 5)
     assert np.allclose(u_kn[0], [1, 2, 5, 6, 7])
     assert np.allclose(u_kn[1], [3, 4, 8, 9, 10])
+
+
+def test_confidenceintervals_qq_plot(tmp_path):
+    """qq_plot must render and write a figure for 0/1/2-dim replicates."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pymbar_tpu import confidenceintervals
+
+    rng = np.random.default_rng(0)
+    K = 3
+    reps = [
+        dict(
+            estimated=rng.normal(size=(K, K)),
+            error=rng.normal(size=(K, K)) * 0.1,
+            destimated=np.abs(rng.normal(size=(K, K))) + 0.1,
+        )
+        for _ in range(20)
+    ]
+    out = tmp_path / "qq.pdf"
+    confidenceintervals.qq_plot(reps, K, filename=str(out))
+    assert out.exists() and out.stat().st_size > 0
