@@ -173,7 +173,11 @@ def solve_mbar_dd(
         # 3e-6 the iterate is as converged as the arithmetic allows (the
         # bench cross-check measures ~3e-11 delta_f agreement with the
         # full-f64 solve at this stopping rule).
-        if it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta:
+        stalled = it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta
+        # A step below 1e-9 leaves a remaining error another ~2 orders down
+        # (contraction is ~1e-2/iter): already far past any reachable tol.
+        tiny = max_delta < 1.0e-9
+        if stalled or tiny:
             converged = True
             at_noise_floor = True
             break
