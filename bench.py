@@ -42,7 +42,6 @@ def _setup():
 
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    from functools import partial
 
     from pymbar_tpu.ops.mbar_core import _logden_direct
 

@@ -6,9 +6,6 @@ persist a converged solve's state and rebuild an MBAR object from it without
 re-solving from zeros.
 """
 
-import json
-import os
-
 import numpy as np
 
 __all__ = ["save_mbar", "load_mbar_state", "resume_mbar"]

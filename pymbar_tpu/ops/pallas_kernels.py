@@ -35,6 +35,7 @@ from pymbar_tpu.ops.doubledouble import (
     dd_add,
     dd_add_f,
     dd_exp_neg,
+    dd_exp_neg_fast,
     dd_mul,
     two_sum,
 )
@@ -87,11 +88,13 @@ def _dd_tree_sum(h, l, axis):
     return h, l
 
 
-def _exp_terms(uh, ul, gh, gl, m):
+def _exp_terms(uh, ul, gh, gl, m, fast=False):
     """exp((g - u) - m) in double-word with error-free argument chaining.
 
     g may be a (K, 1) pair or zero; m is (1, T) or (K, 1) plain f32 (each m
     entry is exactly representable, so the subtraction folds in via two_sum).
+    ``fast`` selects dd_exp_neg_fast (16x reduction, ~1.4x kernel speedup,
+    ~2e-13 vs ~1.5e-13 relative error under Mosaic).
     """
     # a = g - u, fully compensated
     s_hi, s_lo = two_sum(gh, -uh)
@@ -99,7 +102,7 @@ def _exp_terms(uh, ul, gh, gl, m):
     # a -= m, error-free since m is a plain f32 value
     t_hi, t_e = two_sum(a_hi, -m)
     a_hi, a_lo = t_hi, a_lo + t_e
-    return dd_exp_neg(a_hi, a_lo)
+    return (dd_exp_neg_fast if fast else dd_exp_neg)(a_hi, a_lo)
 
 
 @jax.jit
@@ -140,7 +143,7 @@ def lognum_dd_ref(u_hi, u_lo, ld_hi, ld_lo, m_k):
     return t_hi, ll + t_e
 
 
-def _logden_kernel(uh_ref, ul_ref, gh_ref, gl_ref, oh_ref, ol_ref):
+def _logden_kernel(uh_ref, ul_ref, gh_ref, gl_ref, oh_ref, ol_ref, *, fast):
     """One (K, TILE_N) tile: logden over axis 0 in double-word arithmetic."""
     uh = uh_ref[:, :]
     ul = ul_ref[:, :]
@@ -151,7 +154,7 @@ def _logden_kernel(uh_ref, ul_ref, gh_ref, gl_ref, oh_ref, ol_ref):
     # m is irrelevant, it just has to be a representable nearby value).
     m = jnp.max(gh - uh, axis=0, keepdims=True)  # (1, T)
 
-    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m)
+    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m, fast=fast)
     s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)  # (1, T)
 
     l_hi, l_lo = dd_log_pos(s_hi, s_lo)
@@ -160,8 +163,8 @@ def _logden_kernel(uh_ref, ul_ref, gh_ref, gl_ref, oh_ref, ol_ref):
     ol_ref[:, :] = l_lo + t_e
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=False):
     """Per-sample mixture log-normalizer in double-word precision.
 
     u_hi/u_lo: (K, N) f32 planes of the reduced potentials;
@@ -191,7 +194,7 @@ def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
     # are f32, so no semantics change).
     with jax.enable_x64(False):
         out_hi, out_lo = pl.pallas_call(
-        _logden_kernel,
+        functools.partial(_logden_kernel, fast=fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -212,7 +215,7 @@ def logden_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False):
     return out_hi.reshape(-1)[:N], out_lo.reshape(-1)[:N]
 
 
-def _lognum_kernel(uh_ref, ul_ref, ldh_ref, ldl_ref, m_ref, sh_ref, sl_ref):
+def _lognum_kernel(uh_ref, ul_ref, ldh_ref, ldl_ref, m_ref, sh_ref, sl_ref, *, fast):
     """One (K, TILE_N) tile: accumulate s_k += sum_n exp((-ld_n - u_kn) - m_k)."""
     i = pl.program_id(0)
 
@@ -222,7 +225,7 @@ def _lognum_kernel(uh_ref, ul_ref, ldh_ref, ldl_ref, m_ref, sh_ref, sl_ref):
     ldl = ldl_ref[:, :]
     m = m_ref[:, :]  # (K, 1)
 
-    e_hi, e_lo = _exp_terms(uh, ul, -ldh, -ldl, m)
+    e_hi, e_lo = _exp_terms(uh, ul, -ldh, -ldl, m, fast=fast)
     th, tl = _dd_tree_sum(e_hi, e_lo, axis=1)  # (K, 1)
 
     @pl.when(i == 0)
@@ -235,8 +238,8 @@ def _lognum_kernel(uh_ref, ul_ref, ldh_ref, ldl_ref, m_ref, sh_ref, sl_ref):
     sl_ref[:, :] = nl
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False, fast=False):
     """Per-state logsumexp over samples, double-word, with precomputed max.
 
     m_k: (K,) f32 — global max over n of (-logden - u) per state (one cheap
@@ -257,7 +260,7 @@ def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False):
 
     with jax.enable_x64(False):
         s_hi, s_lo = pl.pallas_call(
-        _lognum_kernel,
+        functools.partial(_lognum_kernel, fast=fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((K, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),

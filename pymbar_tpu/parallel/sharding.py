@@ -14,14 +14,10 @@ variants are provided for the reductions where explicit collectives give
 tighter control.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from pymbar_tpu.ops.mbar_core import core_stats, mbar_w_nk_gram
 
 __all__ = [
     "default_mesh",

@@ -27,11 +27,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import functools
+
 import numpy as np
 
 from pymbar_tpu.config import on_tpu
 from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
-from pymbar_tpu.ops.mbar_core import gram_f32_acc64, mbar_w_nk_gram
+from pymbar_tpu.ops.mbar_core import gram_f32_acc64
 from pymbar_tpu.ops.pallas_kernels import (
     logden_dd,
     logden_dd_ref,
@@ -89,6 +91,7 @@ def solve_mbar_dd(
     f32_maxiter=40,
     polish_maxiter=12,
     gamma=1.0,
+    fast_exp=True,
 ):
     """Solve the MBAR equations on double-word-split reduced potentials.
 
@@ -100,6 +103,9 @@ def solve_mbar_dd(
         caller's job, as in solve_mbar_for_all_states).
     f_k : optional initial guess (float64).
     tol : relative convergence tolerance of the polish phase.
+    fast_exp : use the 16x-range-reduction dd exp in the Pallas kernels
+        (same accuracy under Mosaic — measured 7e-12 logden either way —
+        ~1.4x kernel speedup; ignored off-TPU where the jnp reference runs).
 
     Returns (f_k float64, info dict with gnorm/iteration counts).
     """
@@ -142,8 +148,11 @@ def solve_mbar_dd(
     g64 = None
     deltas = []
     # Pallas kernels on TPU; the pure-jnp dd reference elsewhere (same math).
-    _logden = logden_dd if on_tpu() else logden_dd_ref
-    _lognum = lognum_dd if on_tpu() else lognum_dd_ref
+    if on_tpu():
+        _logden = functools.partial(logden_dd, fast=fast_exp)
+        _lognum = functools.partial(lognum_dd, fast=fast_exp)
+    else:
+        _logden, _lognum = logden_dd_ref, lognum_dd_ref
 
     for it in range(1, polish_maxiter + 1):
         gh, gl = dd_from_f64(f64 + logN)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from pymbar_tpu.ops.doubledouble import (
+    dd_exp_neg_fast,
     dd_add,
     dd_exp_neg,
     dd_from_f64,
@@ -69,6 +70,38 @@ def test_dd_exp_neg_accuracy():
     eh, el = jax.jit(dd_exp_neg)(hi, lo)
     rel = jnp.abs(dd_to_f64(eh, el) - jnp.exp(a)) / jnp.exp(a)
     assert float(jnp.max(rel)) < 5e-13
+
+
+def test_dd_exp_neg_fast_accuracy():
+    """The 16x-reduction variant: ~2e-13 eager; the XLA:CPU fusion emitter
+    reassociates one compensation (observed only when the whole graph fuses,
+    not in any isolated sub-graph), capping jit accuracy at ~1.4e-11 on CPU.
+    Both are far below the solver noise floor (~9e-11); Mosaic/TPU preserves
+    full accuracy (kernel-level gate lives in test_solvers_large)."""
+    rng = np.random.default_rng(30)
+    a = jnp.asarray(-rng.uniform(0, 60, 200000))
+    hi, lo = dd_from_f64(a)
+    eh, el = dd_exp_neg_fast(hi, lo)
+    rel = jnp.abs(dd_to_f64(eh, el) - jnp.exp(a)) / jnp.exp(a)
+    assert float(jnp.max(rel)) < 1e-12
+    eh, el = jax.jit(dd_exp_neg_fast)(hi, lo)
+    rel = jnp.abs(dd_to_f64(eh, el) - jnp.exp(a)) / jnp.exp(a)
+    assert float(jnp.max(rel)) < 5e-11
+
+
+def test_dd_exp_fast_lo_word_underflow_cap():
+    """Below exp(a) ~ 1e-31 the f32 lo word denormalizes: relative accuracy
+    degrades to one f32 ulp (~6e-8) for BOTH exp variants.  Harmless for
+    logsumexp (such terms contribute < 1e-30 absolutely) — this test pins
+    the behavior so the cap is intentional, not a regression."""
+    rng = np.random.default_rng(31)
+    a = jnp.asarray(-rng.uniform(70, 84, 50000))
+    hi, lo = dd_from_f64(a)
+    for fn in (dd_exp_neg, dd_exp_neg_fast):
+        eh, el = jax.jit(fn)(hi, lo)
+        rel = jnp.abs(dd_to_f64(eh, el) - jnp.exp(a)) / jnp.exp(a)
+        assert float(jnp.max(rel)) < 1.2e-7  # one f32 ulp cap
+        assert float(jnp.max(jnp.abs(dd_to_f64(eh, el) - jnp.exp(a)))) < 1e-36
 
 
 def test_dd_exp_neg_deep_underflow_is_harmless():
