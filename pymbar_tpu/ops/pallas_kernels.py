@@ -40,7 +40,7 @@ from pymbar_tpu.ops.doubledouble import (
     two_sum,
 )
 
-__all__ = ["logden_dd", "lognum_dd", "dd_log_pos"]
+__all__ = ["logden_dd", "lognum_dd", "lognum_fused_dd", "dd_log_pos"]
 
 _TILE_N = None  # auto: sized from K to fit VMEM (see _pick_tile)
 _PAD_U = 1.0e10  # sentinel potential for padded rows/columns
@@ -129,16 +129,19 @@ def logden_dd_ref(u_hi, u_lo, g_hi, g_lo):
 
 @jax.jit
 def lognum_dd_ref(u_hi, u_lo, ld_hi, ld_lo, m_k):
-    """Pure-jnp reference of ``lognum_dd``."""
+    """Pure-jnp reference of ``lognum_dd``.
+
+    The sample-axis reduction runs in true float64 (this path only runs
+    off-TPU, where f64 is native): a log2(N)-level double-word slice tree
+    over N ~ 1e6 takes XLA:CPU minutes to compile, while jnp.sum's internal
+    pairwise f64 reduction is equally accurate here (terms are in [0, 1]).
+    """
     m = m_k[:, None]
     e_hi, e_lo = _exp_terms(u_hi, u_lo, -ld_hi[None, :], -ld_lo[None, :], m)
-    N = u_hi.shape[1]
-    N_pad = 1 << (N - 1).bit_length()
-    if N_pad != N:
-        e_hi = jnp.pad(e_hi, ((0, 0), (0, N_pad - N)))
-        e_lo = jnp.pad(e_lo, ((0, 0), (0, N_pad - N)))
-    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=1)
-    lh, ll = dd_log_pos(s_hi.reshape(-1), s_lo.reshape(-1))
+    s64 = jnp.sum(e_hi.astype(jnp.float64) + e_lo.astype(jnp.float64), axis=1)
+    sh = s64.astype(jnp.float32)
+    sl = (s64 - sh.astype(jnp.float64)).astype(jnp.float32)
+    lh, ll = dd_log_pos(sh, sl)
     t_hi, t_e = two_sum(lh, m_k)
     return t_hi, ll + t_e
 
@@ -283,3 +286,119 @@ def lognum_dd(u_hi, u_lo, ld_hi, ld_lo, m_k, tile_n=_TILE_N, interpret=False, fa
     lh, ll = dd_log_pos(s_hi.reshape(K), s_lo.reshape(K))
     t_hi, t_e = two_sum(lh, m_k)
     return t_hi, ll + t_e
+
+
+def _fused_polish_kernel(
+    uh_ref, ul_ref, gh_ref, gl_ref, mk_ref, sh_ref, sl_ref, *, fast
+):
+    """One (K, TILE_N) tile: logden for the tile, then lognum partials.
+
+    Fuses the two reductions of a polish iteration so each u tile is read
+    from HBM once: per column compute logden_n (dd reduce over states),
+    immediately form exp((-logden - u) - m_k) and accumulate per-state dd
+    partial sums.  m_k is a frozen stabilizing shift from the previous
+    iteration (only needs to be a representable nearby value).
+    """
+    i = pl.program_id(0)
+    uh = uh_ref[:, :]
+    ul = ul_ref[:, :]
+    gh = gh_ref[:, :]  # (K, 1)
+    gl = gl_ref[:, :]
+    mk = mk_ref[:, :]  # (K, 1)
+
+    m = jnp.max(gh - uh, axis=0, keepdims=True)  # (1, T)
+    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m, fast=fast)
+    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)  # (1, T)
+    ld_h, ld_l = dd_log_pos(s_hi, s_lo)
+    t_hi, t_e = two_sum(ld_h, m)
+    ld_h, ld_l = t_hi, ld_l + t_e  # logden of the tile, (1, T) dd
+
+    # Padded sample columns (u = +PAD everywhere) produce logden ~ -PAD,
+    # which would CANCEL u in the lognum argument and leave an O(exp(-m_k))
+    # phantom contribution; force their logden to +PAD so the lognum term
+    # underflows to exactly zero.  Row 0 is always an original state row and
+    # preconditioned potentials never approach the sentinel.
+    pad_col = uh[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    ld_h = jnp.where(pad_col, jnp.float32(_PAD_U), ld_h)
+    ld_l = jnp.where(pad_col, jnp.float32(0.0), ld_l)
+
+    e_hi, e_lo = _exp_terms(uh, ul, -ld_h, -ld_l, mk, fast=fast)
+    th, tl = _dd_tree_sum(e_hi, e_lo, axis=1)  # (K, 1)
+
+    @pl.when(i == 0)
+    def _():
+        sh_ref[:, :] = jnp.zeros_like(th)
+        sl_ref[:, :] = jnp.zeros_like(tl)
+
+    nh, nl = dd_add(sh_ref[:, :], sl_ref[:, :], th, tl)
+    sh_ref[:, :] = nh
+    sl_ref[:, :] = nl
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def lognum_fused_dd(
+    u_hi, u_lo, g_hi, g_lo, m_k, tile_n=_TILE_N, interpret=False, fast=False
+):
+    """Per-state lognum in one fused pass over u (logden computed in-tile).
+
+    u_hi/u_lo: (K, N) dd planes; g_hi/g_lo: (K,) dd planes of f_k + ln N_k;
+    m_k: (K,) f32 stabilizing shift (a nearby value, e.g. from the previous
+    polish iteration).  Returns (lognum_hi, lognum_lo): (K,) f32 pairs.
+    Halves HBM traffic vs logden_dd + lognum_dd (the u planes stream once).
+    """
+    K, N = u_hi.shape
+    K_pad = 1 << (K - 1).bit_length()
+    if tile_n is None:
+        tile_n = _pick_tile(K_pad)
+    n_pad = (-N) % tile_n
+    if K_pad != K or n_pad:
+        # Padded state rows take u=+PAD (their lognum partials vanish and
+        # they drop out of the in-tile logden); padded sample columns take
+        # u=+PAD so their lognum contribution is exactly zero whatever
+        # logden value the pad column produces.
+        u_hi = jnp.pad(u_hi, ((0, K_pad - K), (0, n_pad)), constant_values=_PAD_U)
+        u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
+        g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
+        g_lo = jnp.pad(g_lo, (0, K_pad - K))
+        m_k = jnp.pad(m_k, (0, K_pad - K))
+    Np = N + n_pad
+    grid = (Np // tile_n,)
+
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
+            functools.partial(_fused_polish_kernel, fast=fast),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            u_hi,
+            u_lo,
+            g_hi.reshape(K_pad, 1),
+            g_lo.reshape(K_pad, 1),
+            m_k.reshape(K_pad, 1),
+        )
+
+    lh, ll = dd_log_pos(s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K])
+    t_hi, t_e = two_sum(lh, m_k[:K])
+    return t_hi, ll + t_e
+
+
+@jax.jit
+def lognum_fused_dd_ref(u_hi, u_lo, g_hi, g_lo, m_k):
+    """Pure-jnp reference of ``lognum_fused_dd`` (same math, no pallas)."""
+    ldh, ldl = logden_dd_ref(u_hi, u_lo, g_hi, g_lo)
+    return lognum_dd_ref(u_hi, u_lo, ldh, ldl, m_k)

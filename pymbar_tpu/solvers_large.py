@@ -39,6 +39,8 @@ from pymbar_tpu.ops.pallas_kernels import (
     logden_dd_ref,
     lognum_dd,
     lognum_dd_ref,
+    lognum_fused_dd,
+    lognum_fused_dd_ref,
 )
 from pymbar_tpu.solvers import _adaptive_while
 
@@ -65,20 +67,50 @@ def _m_k_pass(u_hi, ld_hi):
     return jnp.max(-ld_hi[None, :] - u_hi, axis=1)
 
 
-@jax.jit
-def _newton_update(f, lognum64, gram, colsum, N_k64, gamma):
-    """One f64 K-vector Newton step from the dd lognum and the f32 Gram."""
-    g = -N_k64 * (1.0 - jnp.exp(f + lognum64))
+def _newton_factor(gram, colsum, N_k64):
+    """Cholesky factor of the reduced Hessian from the f32 Gram (f64 algebra).
+
+    Factored once per polish and reused across iterations (chord/frozen-
+    Newton): H moves by only ~|delta f| ~ 1e-4 relative between polish
+    iterations while each iteration only needs ~1e-2 contraction, so the
+    stale factor costs nothing observable and saves a K x N Gram pass plus
+    an O(K^3) factorization per iteration.
+    """
     gram = gram.astype(jnp.float64)
     colsum = colsum.astype(jnp.float64)
     H = -(gram * N_k64[None, :] * N_k64[:, None] - jnp.diag(colsum * N_k64))
-    A = H[1:, 1:]
-    cho = jax.scipy.linalg.cho_factor(A)
-    dx1 = jax.scipy.linalg.cho_solve(cho, g[1:])
+    c, lower = jax.scipy.linalg.cho_factor(H[1:, 1:])
+    return c, bool(lower)
+
+
+def _newton_step(f, lognum64, cho, N_k64, gamma):
+    """One f64 K-vector (chord-)Newton step from the dd lognum."""
+    g = -N_k64 * (1.0 - jnp.exp(f + lognum64))
+    dx1 = jax.scipy.linalg.cho_solve((cho[0], cho[1]), g[1:])
     dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
     f_new = f - gamma * dx
     f_new = f_new - f_new[0]
     return f_new, g
+
+
+
+def _strided_subsample(N_k, stride):
+    """Host-side every-``stride``-th column selection in kn block order.
+
+    Returns (flat column indices, per-state subsample counts).  Sampling
+    uniformly within each state block keeps the subproblem a consistent
+    MBAR estimate of the full problem (used for the multilevel warm start).
+    """
+    N_k = np.asarray(N_k, dtype=np.int64)
+    idx = []
+    counts = np.zeros_like(N_k)
+    start = 0
+    for k, nk in enumerate(N_k):
+        sel = np.arange(start, start + nk, stride, dtype=np.int64)
+        idx.append(sel)
+        counts[k] = sel.size
+        start += nk
+    return np.concatenate(idx), counts
 
 
 def solve_mbar_dd(
@@ -120,7 +152,33 @@ def solve_mbar_dd(
 
     t_phase1 = time.time()
 
-    # ---- phase 1: f32 adaptive solve on the hi plane
+    # ---- phase 1a: multilevel warm start on a strided subsample.
+    # An MBAR solve on every 16th sample is a consistent estimate whose f_k
+    # sits ~1e-2..1e-3 from the full-N solution, at ~1/16 the per-iteration
+    # cost — the full-N adaptive phase then needs ~2-3 iterations instead
+    # of ~9.  Skipped when any state would get too few subsamples.
+    it32_coarse = 0
+    N_k_host = np.asarray(N_k, dtype=np.int64)
+    stride = 16
+    if u_hi.shape[1] >= 2**19 and N_k_host.min() >= 4 * stride:
+        idx, N_k_sub = _strided_subsample(N_k_host, stride)
+        u_sub = jnp.take(u_hi, jnp.asarray(idx), axis=1)
+        f32_coarse, it32_coarse, _, _, _, _ = _adaptive_while(
+            u_sub,
+            jnp.asarray(N_k_sub, jnp.float32),
+            f64.astype(jnp.float32),
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(f32_tol, jnp.float32),
+            f32_maxiter,
+            2,
+            "chol",
+            "mixed",
+        )
+        f64 = f32_coarse.astype(jnp.float64)
+        f64 = f64 - f64[0]
+        it32_coarse = int(it32_coarse)
+
+    # ---- phase 1b: f32 adaptive solve on the full hi plane
     f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
         u_hi,
         N_k64.astype(jnp.float32),
@@ -151,20 +209,36 @@ def solve_mbar_dd(
     if on_tpu():
         _logden = functools.partial(logden_dd, fast=fast_exp)
         _lognum = functools.partial(lognum_dd, fast=fast_exp)
+        _fused = functools.partial(lognum_fused_dd, fast=fast_exp)
     else:
         _logden, _lognum = logden_dd_ref, lognum_dd_ref
+        _fused = lognum_fused_dd_ref
 
+    m_k = None
+    cho = None
     for it in range(1, polish_maxiter + 1):
         gh, gl = dd_from_f64(f64 + logN)
-        ldh, ldl = _logden(u_hi, u_lo, gh, gl)
-        m_k = _m_k_pass(u_hi, ldh)
-        lnh, lnl = _lognum(u_hi, u_lo, ldh, ldl, m_k)
+        if m_k is None:
+            # First iteration: separate passes, which also establish the
+            # frozen stabilizing shift m_k (it only needs to be a
+            # representable nearby value; logden moves by <= ~1e-4 across
+            # polish iterations).
+            ldh, ldl = _logden(u_hi, u_lo, gh, gl)
+            m_k = _m_k_pass(u_hi, ldh)
+            lnh, lnl = _lognum(u_hi, u_lo, ldh, ldl, m_k)
+        else:
+            # Later iterations: one fused pass (logden recomputed in-tile
+            # from the CURRENT f, lognum accumulated while the tile is
+            # resident) — the u planes stream from HBM once, not twice.
+            lnh, lnl = _fused(u_hi, u_lo, gh, gl, m_k)
         lognum64 = dd_to_f64(lnh, lnl)
 
-        gram, colsum = gram_f32_acc64(
-            u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
-        )
-        f_new, g64 = _newton_update(f64, lognum64, gram, colsum, N_k64, gamma64)
+        if cho is None:
+            gram, colsum = gram_f32_acc64(
+                u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
+            )
+            cho = _newton_factor(gram, colsum, N_k64)
+        f_new, g64 = _newton_step(f64, lognum64, cho, N_k64, gamma64)
 
         f_new_np = np.asarray(f_new)
         f_old_np = np.asarray(f64)
@@ -197,6 +271,7 @@ def solve_mbar_dd(
         converged=converged,
         at_noise_floor=at_noise_floor,
         f32_iterations=int(it32),
+        f32_coarse_iterations=it32_coarse,
         f32_converged=bool(done32),
         polish_iterations=it,
         max_delta=max_delta,

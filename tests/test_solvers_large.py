@@ -85,3 +85,40 @@ def test_solve_mbar_dd_matches_f64_solve(problem):
     # the dd gradient certificate
     g = np.asarray(mbar_gradient(u64, jnp.asarray(N_k), jnp.asarray(f_dd)))
     assert np.linalg.norm(g) < 1e-6
+
+
+def test_strided_subsample_counts():
+    from pymbar_tpu.solvers_large import _strided_subsample
+
+    N_k = [1000, 64, 130]
+    idx, counts = _strided_subsample(N_k, 16)
+    assert counts.tolist() == [63, 4, 9]
+    assert idx.size == sum(counts)
+    # every index belongs to the right block
+    assert (idx[: counts[0]] < 1000).all()
+    assert ((idx[counts[0] : counts[0] + counts[1]] >= 1000)).all()
+    assert (np.diff(idx[: counts[0]]) == 16).all()
+
+
+def test_solve_mbar_dd_multilevel_warm_start():
+    """N >= 2^19 triggers the coarse subsample phase; answer unchanged."""
+    from pymbar_tpu.ops.mbar_core import log_denominator_n
+    from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
+
+    rng = np.random.default_rng(21)
+    K, N_per = 4, 2**17 + 11
+    O_k = np.array([0.0, 1.0, 2.0, 3.0])
+    k_spring = np.array([1.0, 1.5, 2.0, 2.5])
+    N_k = np.full(K, N_per)
+    x = np.concatenate(
+        [rng.normal(o, 1.0 / np.sqrt(s), n) for o, s, n in zip(O_k, k_spring, N_k)]
+    )
+    u_kn = 0.5 * k_spring[:, None] * (x[None, :] - O_k[:, None]) ** 2
+    u_kn -= u_kn.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_kn)
+    f, info = solve_mbar_dd(uh, ul, N_k)
+    assert info["f32_coarse_iterations"] > 0, "multilevel phase should trigger"
+    assert info["converged"]
+    f_analytic = -0.5 * np.log(2 * np.pi / k_spring)
+    f_analytic -= f_analytic[0]
+    assert np.max(np.abs(np.asarray(f) - f_analytic)) < 5e-3  # statistical
