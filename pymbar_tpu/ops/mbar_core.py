@@ -318,6 +318,9 @@ def gram_f32_acc64(u_kn32, N_k32, f_k32, num_chunks=64):
         sl = jax.lax.dynamic_slice(u_kn32, (0, c * nc), (K, nc))
         ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
         w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
+        # W columns normalize to 1 regardless of u, so sentinel pad columns
+        # (sharded dd layout) would be phantom weight-1 samples: zero them.
+        w = jnp.where(sl >= jnp.float32(5.0e9), jnp.float32(0.0), w)
         g = jnp.dot(w, w.T, preferred_element_type=jnp.float32)
         return (
             acc[0] + g.astype(jnp.float64),
@@ -335,6 +338,7 @@ def gram_f32_acc64(u_kn32, N_k32, f_k32, num_chunks=64):
         sl = u_kn32[:, nc * num_chunks :]
         ldc = logden[nc * num_chunks :]
         w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
+        w = jnp.where(sl >= jnp.float32(5.0e9), jnp.float32(0.0), w)
         gram = gram + jnp.dot(w, w.T, preferred_element_type=jnp.float32).astype(jnp.float64)
         colsum = colsum + jnp.sum(w, axis=1).astype(jnp.float64)
     return gram, colsum

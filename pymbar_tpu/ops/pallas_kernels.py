@@ -335,9 +335,19 @@ def _fused_polish_kernel(
     sl_ref[:, :] = nl
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret", "fast", "return_sums")
+)
 def lognum_fused_dd(
-    u_hi, u_lo, g_hi, g_lo, m_k, tile_n=_TILE_N, interpret=False, fast=False
+    u_hi,
+    u_lo,
+    g_hi,
+    g_lo,
+    m_k,
+    tile_n=_TILE_N,
+    interpret=False,
+    fast=False,
+    return_sums=False,
 ):
     """Per-state lognum in one fused pass over u (logden computed in-tile).
 
@@ -345,6 +355,10 @@ def lognum_fused_dd(
     m_k: (K,) f32 stabilizing shift (a nearby value, e.g. from the previous
     polish iteration).  Returns (lognum_hi, lognum_lo): (K,) f32 pairs.
     Halves HBM traffic vs logden_dd + lognum_dd (the u planes stream once).
+    With ``return_sums`` the raw (K,) dd partial sums s_k (lognum = log s_k
+    + m_k) are returned instead — the mergeable form for sample-sharded
+    multi-chip solves (partials from each device combine with dd adds
+    before one log).
     """
     K, N = u_hi.shape
     K_pad = 1 << (K - 1).bit_length()
@@ -392,13 +406,36 @@ def lognum_fused_dd(
             m_k.reshape(K_pad, 1),
         )
 
-    lh, ll = dd_log_pos(s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K])
+    s_hi = s_hi.reshape(K_pad)[:K]
+    s_lo = s_lo.reshape(K_pad)[:K]
+    if return_sums:
+        return s_hi, s_lo
+    lh, ll = dd_log_pos(s_hi, s_lo)
     t_hi, t_e = two_sum(lh, m_k[:K])
     return t_hi, ll + t_e
 
 
-@jax.jit
-def lognum_fused_dd_ref(u_hi, u_lo, g_hi, g_lo, m_k):
-    """Pure-jnp reference of ``lognum_fused_dd`` (same math, no pallas)."""
+def _lognum_sums_ref(u_hi, u_lo, ld_hi, ld_lo, m_k):
+    """Raw dd partial sums of the lognum reduction (true-f64 inner sum)."""
+    m = m_k[:, None]
+    e_hi, e_lo = _exp_terms(u_hi, u_lo, -ld_hi[None, :], -ld_lo[None, :], m)
+    s64 = jnp.sum(e_hi.astype(jnp.float64) + e_lo.astype(jnp.float64), axis=1)
+    sh = s64.astype(jnp.float32)
+    sl = (s64 - sh.astype(jnp.float64)).astype(jnp.float32)
+    return sh, sl
+
+
+@functools.partial(jax.jit, static_argnames=("return_sums",))
+def lognum_fused_dd_ref(u_hi, u_lo, g_hi, g_lo, m_k, return_sums=False):
+    """Pure-jnp reference of ``lognum_fused_dd`` (same math, no pallas).
+
+    Pad columns (u >= PAD/2 sentinels, as the sharded layout produces)
+    contribute exactly zero, matching the Pallas kernel's column mask.
+    """
     ldh, ldl = logden_dd_ref(u_hi, u_lo, g_hi, g_lo)
+    pad_col = u_hi[0, :] >= jnp.float32(0.5 * _PAD_U)
+    ldh = jnp.where(pad_col, jnp.float32(_PAD_U), ldh)
+    ldl = jnp.where(pad_col, jnp.float32(0.0), ldl)
+    if return_sums:
+        return _lognum_sums_ref(u_hi, u_lo, ldh, ldl, m_k)
     return lognum_dd_ref(u_hi, u_lo, ldh, ldl, m_k)

@@ -7,6 +7,9 @@ devices, logsumexp/Gram reductions finished with psum over ICI.
 
 from pymbar_tpu.parallel.sharding import (
     default_mesh,
+    shard_dd_planes,
+    sharded_fused_lognum_dd,
+    sharded_solve_mbar_dd,
     mesh_2d,
     shard_u_kn,
     sharded_core_stats,
@@ -25,6 +28,9 @@ __all__ = [
     "sharded_gram",
     "sharded_log_denominator",
     "sharded_solve_mbar",
+    "shard_dd_planes",
+    "sharded_fused_lognum_dd",
+    "sharded_solve_mbar_dd",
     "mesh_2d",
     "shard_u_kn_2d",
     "sharded2d_core_stats",

@@ -26,6 +26,9 @@ __all__ = [
     "sharded_core_stats",
     "sharded_gram",
     "sharded_solve_mbar",
+    "shard_dd_planes",
+    "sharded_fused_lognum_dd",
+    "sharded_solve_mbar_dd",
 ]
 
 
@@ -60,6 +63,17 @@ def _replicated(x, mesh):
     return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
 
 
+def _is_pad_col(u_local):
+    """Pad-column mask: +inf pads (f64 path) or finite +PAD dd sentinels.
+
+    Double-word planes cannot carry ±inf (error-free transforms would turn
+    them into NaN), so the dd layout pads with 1e10 sentinels; both kinds
+    must be masked out of every sharded reduction.
+    """
+    row = u_local[0, :]
+    return jnp.logical_or(~jnp.isfinite(row), row >= jnp.asarray(5.0e9, row.dtype))
+
+
 def sharded_log_denominator(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
     """Per-sample log-normalizer with the n axis sharded.
 
@@ -74,7 +88,7 @@ def sharded_log_denominator(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         s = jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)
         # Pad columns (u = +inf everywhere) would give log(0) = -inf; zero
         # them so downstream sums are unaffected.
-        pad = ~jnp.isfinite(u_local[0, :])
+        pad = _is_pad_col(u_local)
         return jnp.where(pad, 0.0, jnp.log(s) + a_max)
 
     fn = jax.shard_map(
@@ -100,7 +114,7 @@ def sharded_core_stats(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         a_max = jnp.max(a, axis=0)
         a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
         logden = jnp.log(jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)) + a_max
-        pad = ~jnp.isfinite(u_local[0, :])
+        pad = _is_pad_col(u_local)
         logden = jnp.where(pad, 0.0, logden)
 
         obj_local = jnp.sum(logden)
@@ -141,7 +155,7 @@ def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         a_max = jnp.max(a, axis=0)
         a_max = jnp.where(jnp.isfinite(a_max), a_max, 0.0)
         logden = jnp.log(jnp.sum(N_k[:, None] * jnp.exp(a - a_max[None, :]), axis=0)) + a_max
-        pad = ~jnp.isfinite(u_local[0, :])
+        pad = _is_pad_col(u_local)
         logden = jnp.where(pad, 0.0, logden)
         w = jnp.exp(f_k[:, None] - u_local - logden[None, :])
         gram_local = jnp.dot(w, w.T, preferred_element_type=w.dtype)
@@ -160,13 +174,26 @@ def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
     return fn(u_kn_sharded, _replicated(N_k, mesh), _replicated(f_k, mesh))
 
 
-def sharded_adaptive_step(u_kn_sharded, N_k, f_k, gamma, mesh, axis_name="n"):
-    """One adaptive iteration's candidates on the sharded problem."""
+def sharded_adaptive_step(
+    u_kn_sharded, N_k, f_k, gamma, mesh, axis_name="n", nr_method="lstsq"
+):
+    """One adaptive iteration's candidates on the sharded problem.
+
+    nr_method "lstsq" matches the reference Newton step; "chol" solves the
+    reduced PSD system H[1:, 1:] by Cholesky — equivalent up to the f_0 = 0
+    gauge and the only option on hardware whose compiler lacks a stable SVD
+    (the axon TPU compile helper aborts on lstsq's SVD kernel).
+    """
     _, g, f_sci = sharded_core_stats(u_kn_sharded, N_k, f_k, mesh, axis_name)
     gram, colsum = sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name)
     N_k = jnp.asarray(N_k, dtype=g.dtype)
     H = -(gram * N_k[None, :] * N_k[:, None] - jnp.diag(colsum * N_k))
-    Hinvg = jnp.linalg.lstsq(H, g, rcond=-1)[0]
+    if nr_method == "chol":
+        c = jax.scipy.linalg.cho_factor(H[1:, 1:])
+        dx1 = jax.scipy.linalg.cho_solve((c[0], bool(c[1])), g[1:])
+        Hinvg = jnp.concatenate([jnp.zeros((1,), dtype=g.dtype), dx1])
+    else:
+        Hinvg = jnp.linalg.lstsq(H, g, rcond=-1)[0]
     Hinvg -= Hinvg[0]
     f_nr = f_k - gamma * Hinvg
     f_sci = f_sci - f_sci[0]
@@ -290,7 +317,7 @@ def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
     """
 
     def local(u_local, N_k_local, f_local):
-        pad_col = ~jnp.isfinite(u_local[0, :])
+        pad_col = _is_pad_col(u_local)
 
         # --- log denominator: partial over the local k-block, then 'k'
         a = f_local[:, None] - u_local
@@ -415,4 +442,263 @@ def sharded2d_solve_mbar(
         iterations=it,
         max_delta=max_delta,
         gnorm=float(np.linalg.norm(g)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Double-word (two-float32) sharded solve: the production TPU-pod path.
+# ---------------------------------------------------------------------------
+
+
+def shard_dd_planes(u_hi, u_lo, mesh, axis_name="n"):
+    """Place double-word (hi, lo) planes with the sample axis sharded.
+
+    Pads n to a multiple of the mesh size with finite +PAD sentinel columns
+    (±inf must never enter an error-free transform — doubledouble.py); the
+    fused dd kernels mask sentinel columns to exactly zero contribution.
+    Returns (u_hi_sharded, u_lo_sharded, n_pad).
+    """
+    from pymbar_tpu.ops.pallas_kernels import _PAD_U
+
+    u_hi = np.asarray(u_hi, dtype=np.float32)
+    u_lo = np.asarray(u_lo, dtype=np.float32)
+    n_dev = mesh.devices.size
+    K, N = u_hi.shape
+    n_pad = (-N) % n_dev
+    if n_pad:
+        u_hi = np.concatenate(
+            [u_hi, np.full((K, n_pad), _PAD_U, dtype=np.float32)], axis=1
+        )
+        u_lo = np.concatenate(
+            [u_lo, np.zeros((K, n_pad), dtype=np.float32)], axis=1
+        )
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return (
+        jax.device_put(u_hi, sharding),
+        jax.device_put(u_lo, sharding),
+        n_pad,
+    )
+
+
+def _dd_combine_partials(sh, sl):
+    """Exactly combine (D, K) stacked dd partial sums along axis 0.
+
+    The stacked partials are K-sized per device — pull them off the mesh
+    first (eager dd arithmetic directly on a cross-device-sharded array
+    aborts on the CPU backend) and combine replicated.
+    """
+    from pymbar_tpu.ops.doubledouble import dd_add
+
+    sh = jnp.asarray(jax.device_get(sh))
+    sl = jnp.asarray(jax.device_get(sl))
+    h, l = sh[0], sl[0]
+    for d in range(1, sh.shape[0]):
+        h, l = dd_add(h, l, sh[d], sl[d])
+    return h, l
+
+
+def sharded_fused_lognum_dd(u_hi_s, u_lo_s, g_hi, g_lo, m_k, mesh, axis_name="n", fast=True):
+    """lognum over an n-sharded dd matrix: per-device fused pass, dd merge.
+
+    Each device runs the fused logden->lognum kernel on its local slab
+    (Pallas on TPU, the jnp reference elsewhere) returning raw dd partial
+    sums; the (D, K) partials merge with exact dd adds on the host side of
+    the shard_map, and a single log finishes.  Communication: one K-sized
+    all-gather per call.
+    """
+    from pymbar_tpu.config import on_tpu
+    from pymbar_tpu.ops.doubledouble import two_sum
+    from pymbar_tpu.ops.pallas_kernels import (
+        dd_log_pos,
+        lognum_fused_dd,
+        lognum_fused_dd_ref,
+    )
+    if on_tpu():
+        local = lambda uh, ul: lognum_fused_dd(
+            uh, ul, g_hi, g_lo, m_k, fast=fast, return_sums=True
+        )
+    else:
+        local = lambda uh, ul: lognum_fused_dd_ref(
+            uh, ul, g_hi, g_lo, m_k, return_sums=True
+        )
+
+    def body(uh, ul):
+        sh, sl = local(uh, ul)
+        return sh[None, :], sl[None, :]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name)),
+        out_specs=(P(axis_name, None), P(axis_name, None)),
+        # pallas_call's ShapeDtypeStruct out_shape carries no vma metadata;
+        # the varying-axis checker rejects it (jnp ref path is unaffected)
+        check_vma=False,
+    )
+    sh, sl = fn(u_hi_s, u_lo_s)  # (D, K) stacked partials
+    h, l = _dd_combine_partials(sh, sl)
+    lh, ll = dd_log_pos(h, l)
+    t_hi, t_e = two_sum(lh, m_k)
+    return t_hi, ll + t_e
+
+
+def sharded_solve_mbar_dd(
+    u_hi,
+    u_lo,
+    N_k,
+    f_k=None,
+    mesh=None,
+    tol=1.0e-12,
+    f32_tol=1.0e-4,
+    f32_maxiter=40,
+    polish_maxiter=12,
+    gamma=1.0,
+    fast_exp=True,
+    axis_name="n",
+):
+    """Multi-chip double-word MBAR solve: n-sharded planes, dd polish.
+
+    The sharded counterpart of :func:`pymbar_tpu.solvers_large.solve_mbar_dd`
+    (same two-phase structure and stopping rules): the f32 adaptive phase
+    runs on the sharded hi plane (reductions psum over ICI), the polish runs
+    one fused dd pass per device per iteration with exact dd merging of the
+    K-sized partials.  Caller supplies preconditioned (hi, lo) planes, as in
+    the single-device API.  Returns (f_k float64, info dict).
+    """
+    import time
+
+    from pymbar_tpu.ops.doubledouble import dd_from_f64
+    from pymbar_tpu.solvers_large import (
+        _m_k_pass,
+        _newton_factor,
+        _newton_step,
+    )
+
+    if mesh is None:
+        mesh = default_mesh(axis_name=axis_name)
+
+    K = np.asarray(u_hi).shape[0]
+    N_k64 = jnp.asarray(np.asarray(N_k), dtype=jnp.float64)
+    f64 = jnp.zeros(K, dtype=jnp.float64) if f_k is None else jnp.asarray(f_k, jnp.float64)
+    f64 = f64 - f64[0]
+
+    u_hi_s, u_lo_s, _ = shard_dd_planes(u_hi, u_lo, mesh, axis_name)
+
+    # ---- phase 1: f32 adaptive on the sharded hi plane (pad columns carry
+    # the finite sentinel; exp underflows them to exactly 0 in f32 too).
+    t_phase1 = time.time()
+    N_k32 = jnp.asarray(np.asarray(N_k), dtype=jnp.float32)
+    f = f64.astype(jnp.float32)
+    it32 = 0
+    sci_iter = 0
+    for it32 in range(1, f32_maxiter + 1):
+        f_sci, g_sci, gn_sci, f_nr, g_nr, gn_nr = sharded_adaptive_step(
+            u_hi_s, N_k32, f, jnp.float32(gamma), mesh, axis_name, nr_method="chol"
+        )
+        take_sci = bool(gn_sci < gn_nr) or sci_iter < 2
+        f_old = np.asarray(f)
+        f = f_sci if take_sci else f_nr
+        sci_iter += int(take_sci)
+        f_np = np.asarray(f)
+        div = np.maximum(np.abs(f_np[1:]), 1.0)
+        if float(np.max(np.abs(f_np[1:] - f_old[1:]) / div)) < f32_tol:
+            break
+    f64 = jnp.asarray(np.asarray(f), jnp.float64)
+    f64 = f64 - f64[0]
+    t_phase1 = time.time() - t_phase1
+
+    # ---- polish prologue at the f32 endpoint: frozen shift + chord factor
+    t_phase2 = time.time()
+    f32_end = f64.astype(jnp.float32)
+
+    def _local_mk(uh):
+        from pymbar_tpu.ops.mbar_core import _logden_direct
+
+        ld = _logden_direct(uh, N_k32, f32_end)
+        b = -ld[None, :] - uh
+        # sentinel pad columns must not enter the shift max
+        b = jnp.where(_is_pad_col(uh)[None, :], jnp.float32(-1.0e30), b)
+        return jnp.max(b, axis=1)[None, :]
+
+    mk_parts = jax.shard_map(
+        _local_mk, mesh=mesh, in_specs=(P(None, axis_name),),
+        out_specs=P(axis_name, None),
+    )(u_hi_s)
+    m_k = jnp.max(mk_parts, axis=0)
+
+    def _local_gram(uh):
+        from pymbar_tpu.ops.mbar_core import _logden_direct
+
+        ld = _logden_direct(uh, N_k32, f32_end)
+        pad = _is_pad_col(uh)
+        ld = jnp.where(pad, jnp.float32(0.0), ld)
+        w = jnp.exp(f32_end[:, None] - uh - ld[None, :])
+        w = jnp.where(pad[None, :], jnp.float32(0.0), w)
+        # chunked f32 matmuls, f64 chunk accumulation (a fori-loop carry does
+        # not compose with shard_map's varying axes, so chunk by reshape)
+        K_l, N_l = w.shape
+        C = 8
+        n_pad = (-N_l) % C
+        if n_pad:
+            w = jnp.pad(w, ((0, 0), (0, n_pad)))
+        wc = w.reshape(K_l, C, -1)
+        g = jnp.einsum(
+            "kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32
+        )
+        gram = jnp.sum(g.astype(jnp.float64), axis=0)
+        colsum = jnp.sum(w.astype(jnp.float64), axis=1)
+        return gram[None], colsum[None]
+
+    g_parts, c_parts = jax.shard_map(
+        _local_gram, mesh=mesh, in_specs=(P(None, axis_name),),
+        out_specs=(P(axis_name, None, None), P(axis_name, None)),
+    )(u_hi_s)
+    gram = jnp.sum(g_parts, axis=0)
+    colsum = jnp.sum(c_parts, axis=0)
+    cho = _newton_factor(gram, colsum, N_k64)
+
+    # ---- polish: fused dd pass per device per iteration
+    logN = jnp.log(N_k64)
+    gamma64 = jnp.asarray(gamma, jnp.float64)
+    deltas = []
+    converged = False
+    at_noise_floor = False
+    prev_delta = np.inf
+    g64 = None
+    it = 0
+    for it in range(1, polish_maxiter + 1):
+        gh, gl = dd_from_f64(f64 + logN)
+        lnh, lnl = sharded_fused_lognum_dd(
+            u_hi_s, u_lo_s, gh, gl, m_k, mesh, axis_name, fast=fast_exp
+        )
+        lognum64 = lnh.astype(jnp.float64) + lnl.astype(jnp.float64)
+        f_new, g64 = _newton_step(f64, lognum64, cho, N_k64, gamma64)
+
+        f_new_np = np.asarray(f_new)
+        f_old_np = np.asarray(f64)
+        div = np.maximum(np.abs(f_new_np[1:]), 1.0)
+        max_delta = float(np.max(np.abs(f_new_np[1:] - f_old_np[1:]) / div))
+        deltas.append(max_delta)
+        f64 = f_new
+        if max_delta < tol:
+            converged = True
+            break
+        stalled = it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta
+        tiny = max_delta < 1.0e-9
+        if stalled or tiny:
+            converged = True
+            at_noise_floor = True
+            break
+        prev_delta = max_delta
+
+    gnorm = float(np.linalg.norm(np.asarray(g64))) if g64 is not None else np.nan
+    return np.asarray(f64), dict(
+        converged=converged,
+        at_noise_floor=at_noise_floor,
+        f32_iterations=int(it32),
+        polish_iterations=it,
+        deltas=deltas,
+        gnorm=gnorm,
+        phase1_s=t_phase1,
+        phase2_s=time.time() - t_phase2,
     )
