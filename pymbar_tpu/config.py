@@ -37,6 +37,25 @@ if not _env_truthy("PYMBAR_TPU_DISABLE_X64"):
     jax.config.update("jax_enable_x64", True)
     X64_ENABLED = True
 
+# Persistent compilation cache: the first compile of each kernel shape costs
+# 15-60 s on a remote-compile TPU frontend, and a fresh process would pay it
+# all again.  Cache serialized executables on disk so repeat runs (benches,
+# production re-solves, notebook restarts) skip straight to execution.
+# Opt out with PYMBAR_TPU_NO_COMPILE_CACHE=1 or redirect the directory with
+# PYMBAR_TPU_CACHE_DIR.
+if not _env_truthy("PYMBAR_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "PYMBAR_TPU_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):  # read-only FS or too-old jax: best effort
+        pass
+
 
 def working_dtype():
     """The dtype the solver core computes in on the default backend."""

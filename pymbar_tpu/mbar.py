@@ -44,6 +44,27 @@ logger = logging.getLogger(__name__)
 __all__ = ["MBAR"]
 
 
+
+def _wtw_gram(W, block_bytes=2**30):
+    """W^T W for an (N, K') weight matrix without giant device temps.
+
+    On TPU an f64 matmul is emulated with ~6x-expanded f32 operands, so a
+    single N x K' dot at the GB scale blows HBM; stream row blocks instead
+    and accumulate the K' x K' partials in f64 (each block's emulated dot
+    has bounded temps).  Small W takes the direct path.
+    """
+    W = np.asarray(W)
+    if W.nbytes <= block_bytes:
+        W_dev = jnp.asarray(W)
+        return jnp.dot(W_dev.T, W_dev)
+    N, Kp = W.shape
+    rows = max(1, int(block_bytes // (8 * max(Kp, 1)) // 4))
+    acc = jnp.zeros((Kp, Kp), dtype=jnp.float64)
+    for s in range(0, N, rows):
+        blk = jnp.asarray(W[s : s + rows])
+        acc = acc + jnp.dot(blk.T, blk)
+    return acc
+
 class MBAR:
     """Multistate Bennett acceptance ratio estimator (Shirts & Chodera 2008).
 
@@ -158,6 +179,17 @@ class MBAR:
                 logger.info("f_k = ")
                 logger.info(self.f_k)
 
+        # Large problems on TPU auto-route to the two-phase double-word
+        # solver ("dd", solvers_large): same answer to ~1e-11, ~5x the
+        # speed of the f64-emulation adaptive path at the GB scale.  Any
+        # explicit solver_protocol (including the reference defaults by
+        # name) is honored untouched.
+        if solver_protocol is None and self.u_kn.nbytes >= 2 * 2**30:
+            from pymbar_tpu.config import on_tpu
+
+            if on_tpu():
+                solver_protocol = (dict(method="dd", options=dict()),)
+
         # Normalize the solver protocols exactly as the reference does
         # (mbar.py:367-411): fill options/continuation defaults and raise
         # every stage's maxiter to maximum_iterations.
@@ -232,13 +264,10 @@ class MBAR:
         elif n_bootstraps < 0:
             logger.warning("n_bootstraps must be an integer >= 0")
 
-        self.Log_W_nk = np.array(
-            mbar_log_W_nk(
-                jnp.asarray(self.u_kn),
-                jnp.asarray(self.N_k, dtype=np.float64),
-                jnp.asarray(self.f_k),
-            )
-        )
+        # Log_W_nk materializes lazily (property below): it is an N x K f64
+        # matrix whose compute + device->host transfer costs minutes at the
+        # GB scale, and solve-only users never touch it.
+        self._Log_W_nk = None
 
         if self.verbose:
             logger.info("Final dimensionless free energies")
@@ -355,6 +384,24 @@ class MBAR:
     # -------------------------------------------------------------------------
     # Weights
     # -------------------------------------------------------------------------
+
+    @property
+    def Log_W_nk(self):
+        """The N x K log-weight matrix (reference mbar.py:455), computed on
+        first access and cached."""
+        if self._Log_W_nk is None:
+            self._Log_W_nk = np.array(
+                mbar_log_W_nk(
+                    jnp.asarray(self.u_kn),
+                    jnp.asarray(self.N_k, dtype=np.float64),
+                    jnp.asarray(self.f_k),
+                )
+            )
+        return self._Log_W_nk
+
+    @Log_W_nk.setter
+    def Log_W_nk(self, value):
+        self._Log_W_nk = value
 
     @property
     def W_nk(self):
@@ -1047,8 +1094,7 @@ class MBAR:
         check_w_normalized(W, N_k)
 
         if method == "approximate":
-            W_dev = jnp.asarray(W)
-            Theta = np.asarray(jnp.dot(W_dev.T, W_dev))
+            Theta = np.asarray(_wtw_gram(W))
         elif method == "svd":
             Ndiag = np.diag(N_k.astype(np.float64))
             I = np.identity(K, dtype=np.float64)
@@ -1063,19 +1109,21 @@ class MBAR:
                 @ V.T
             )
         elif method == "svd-ew":
-            W_dev = jnp.asarray(W)
-            gram = jnp.dot(W_dev.T, W_dev)
-            S2, V = jnp.linalg.eigh(gram)
-            S2 = jnp.where(S2 < 0.0, 0.0, S2)
-            Sigma_diag = jnp.sqrt(S2)
-            N_dev = jnp.asarray(N_k, dtype=W_dev.dtype)
-            I = jnp.eye(K, dtype=W_dev.dtype)
+            # The N-sized work (W^T W) streams on device; the K' x K'
+            # algebra runs host-side in native f64 (on TPU an emulated-f64
+            # eigh/pinv is minutes-slow for zero benefit at K <= few 1000).
+            gram = np.asarray(_wtw_gram(W), dtype=np.float64)
+            S2, V = np.linalg.eigh(gram)
+            S2 = np.where(S2 < 0.0, 0.0, S2)
+            Sigma_diag = np.sqrt(S2)
+            Np = np.asarray(N_k, dtype=np.float64)
+            I = np.identity(gram.shape[0], dtype=np.float64)
             # inner = I - Sigma V^T diag(N) V Sigma, built with diagonal scaling
             # instead of dense diag matmuls.
             VS = V * Sigma_diag[None, :]  # V @ Sigma
-            inner = I - VS.T @ (N_dev[:, None] * VS)
-            inner_pinv = jnp.linalg.pinv(inner, rcond=1.0e-10)
-            Theta = np.asarray(VS @ inner_pinv @ VS.T)
+            inner = I - VS.T @ (Np[:, None] * VS)
+            inner_pinv = np.linalg.pinv(inner, rcond=1.0e-10)
+            Theta = VS @ inner_pinv @ VS.T
         else:
             raise ParameterError(f"Method {method} unrecognized.")
 

@@ -61,7 +61,10 @@ def _pick_tile(K):
             "sharded2d_solve_mbar instead."
         )
     t = (12_000_000 // (60 * max(K, 1))) // 128 * 128
-    return int(max(128, min(512, t)))
+    t = int(max(128, min(512, t)))
+    # The in-kernel dd tree reductions pair-halve the tile extent, so the
+    # tile MUST be a power of two (384 would silently drop columns).
+    return 1 << (t.bit_length() - 1)
 
 
 def dd_log_pos(s_hi, s_lo):
@@ -78,6 +81,8 @@ def dd_log_pos(s_hi, s_lo):
 def _dd_tree_sum(h, l, axis):
     """Pairwise double-word sum along ``axis`` (extent must be a power of 2)."""
     n = h.shape[axis]
+    if n & (n - 1):
+        raise ValueError(f"_dd_tree_sum needs a power-of-two extent, got {n}")
     while n > 1:
         n //= 2
         h0 = jax.lax.slice_in_dim(h, 0, n, axis=axis)

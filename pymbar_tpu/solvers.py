@@ -449,6 +449,45 @@ def solve_mbar_once(
     )
     f_k_nonzero = f_k_nonzero - f_k_nonzero[0]
 
+    if method == "dd":
+        # Two-phase double-word solve (solvers_large) — the TPU production
+        # path for large problems.  The f64 matrix never reaches the device:
+        # the (hi, lo) f32 planes are built host-side, chunked, after a
+        # host min-shift precondition (gradients are shift-invariant, and
+        # the dd solver never consumes the objective value).
+        from pymbar_tpu.solvers_large import solve_mbar_dd
+
+        u_np = np.asarray(u_kn_nonzero, dtype=np.float64)
+        shift = u_np.min(axis=0)
+        K_, N_ = u_np.shape
+        uh = np.empty((K_, N_), dtype=np.float32)
+        ul = np.empty((K_, N_), dtype=np.float32)
+        chunk = max(1, int(2**27 // max(K_, 1)))
+        # Pure-numpy split: pushing chunks through the device for the cast
+        # costs two full host<->device round trips of the matrix (minutes on
+        # a tunneled TPU frontend) for work the host does in seconds.
+        for s in range(0, N_, chunk):
+            blk = u_np[:, s : s + chunk] - shift[s : s + chunk][None, :]
+            bh = blk.astype(np.float32)
+            uh[:, s : s + chunk] = bh
+            ul[:, s : s + chunk] = (blk - bh.astype(np.float64)).astype(
+                np.float32
+            )
+        opts = {
+            k: options[k]
+            for k in ("f32_tol", "f32_maxiter", "polish_maxiter", "gamma", "fast_exp")
+            if k in options
+        }
+        f_sol, info = solve_mbar_dd(
+            uh, ul, N_k_nonzero, f_k=f_k_nonzero, tol=tol, **opts
+        )
+        results = {
+            "x": np.asarray(f_sol),
+            "success": bool(info["converged"]),
+            "info": info,
+        }
+        return results["x"] - results["x"][0], results
+
     u_dev = jnp.asarray(u_kn_nonzero)
     N_dev = jnp.asarray(N_k_nonzero, dtype=u_dev.dtype)
     f_dev = jnp.asarray(f_k_nonzero, dtype=u_dev.dtype)
@@ -577,19 +616,27 @@ def solve_mbar(u_kn_nonzero, N_k_nonzero, f_k_nonzero, solver_protocol=None):
             u_kn_nonzero, N_k_nonzero, f_k_nonzero, **solver
         )
         all_fks.append(f_k_nonzero_result)
-        all_gnorms.append(
-            float(
-                np.linalg.norm(
-                    np.asarray(
-                        mbar_gradient(
-                            jnp.asarray(u_kn_nonzero),
-                            jnp.asarray(N_k_nonzero, dtype=np.asarray(u_kn_nonzero).dtype),
-                            jnp.asarray(f_k_nonzero_result),
+        if "info" in results and "gnorm" in results.get("info", {}):
+            # Stage already certified its own gradient norm (dd path) — a
+            # recompute would stream the full f64 matrix again for nothing.
+            all_gnorms.append(float(results["info"]["gnorm"]))
+        else:
+            all_gnorms.append(
+                float(
+                    np.linalg.norm(
+                        np.asarray(
+                            mbar_gradient(
+                                jnp.asarray(u_kn_nonzero),
+                                jnp.asarray(
+                                    N_k_nonzero,
+                                    dtype=np.asarray(u_kn_nonzero).dtype,
+                                ),
+                                jnp.asarray(f_k_nonzero_result),
+                            )
                         )
                     )
                 )
             )
-        )
         all_results.append(results)
 
         if results["success"]:
@@ -651,6 +698,13 @@ def solve_mbar_for_all_states(u_kn, N_k, f_k, states_with_samples, solver_protoc
     f_k[states_with_samples] = np.asarray(f_k_nonzero)
 
     # Empty states' free energies come from one SC update over all states.
+    # With no empty states and a dd-protocol solve this pass is pure cost:
+    # f already satisfies the SC equations past the dd noise floor (~1e-10),
+    # and at the GB scale the extra full-f64 device upload it would trigger
+    # costs minutes on a tunneled frontend.
+    dd_only = all(s.get("method") == "dd" for s in (solver_protocol or ()))
+    if dd_only and len(states_with_samples) == len(N_k):
+        return f_k - f_k[0]
     f_k = np.array(
         self_consistent_update(
             jnp.asarray(u_kn), jnp.asarray(N_k, dtype=np.float64), jnp.asarray(f_k)

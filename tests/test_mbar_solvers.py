@@ -161,3 +161,21 @@ def test_env_toggle_unset(monkeypatch):
 
     monkeypatch.delenv("PYMBAR_TPU_DISABLE_X64", raising=False)
     assert _env_truthy("PYMBAR_TPU_DISABLE_X64") is False
+
+
+def test_dd_solver_method_through_mbar():
+    """solver_protocol=({'method': 'dd'},) through the MBAR class matches the
+    default protocol (the method the large-problem TPU auto-route selects)."""
+    from pymbar_tpu import MBAR
+
+    from pymbar_tpu import testsystems
+
+    tc = testsystems.HarmonicOscillatorsTestCase(
+        O_k=[0.0, 1.0, 2.0], K_k=[1.0, 2.0, 3.0]
+    )
+    x_n, u_kn, N_k_output, s_n = tc.sample(
+        N_k=[600, 500, 400], mode="u_kn", seed=17
+    )
+    m_dd = MBAR(u_kn, N_k_output, solver_protocol=({"method": "dd"},))
+    m_def = MBAR(u_kn, N_k_output)
+    assert np.max(np.abs(m_dd.f_k - m_def.f_k)) < 1e-7
