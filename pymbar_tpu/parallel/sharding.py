@@ -685,7 +685,10 @@ def sharded_solve_mbar_dd(
             break
         stalled = it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta
         tiny = max_delta < 1.0e-9
-        if stalled or tiny:
+        predicted_next = (
+            max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
+        )
+        if stalled or tiny or predicted_next < 1.0e-9:
             converged = True
             at_noise_floor = True
             break

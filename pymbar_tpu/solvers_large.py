@@ -67,6 +67,40 @@ def _m_k_pass(u_hi, ld_hi):
     return jnp.max(-ld_hi[None, :] - u_hi, axis=1)
 
 
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def _newton_while_f32(u_hi, N_k32, f0, chol, tol, maxiter):
+    """f32 chord-Newton loop: one fused stats pass per iteration.
+
+    The reference adaptive loop evaluates BOTH the SC and Newton candidates
+    plus their gradients (~7 K x N passes per iteration) to pick the safer
+    step; from the multilevel warm start (~1e-3 from the solution) the
+    chord-Newton step with the frozen factor ``chol`` always contracts, so
+    one core_stats pass per iteration suffices.  Returns (f, iters, delta).
+    """
+    from pymbar_tpu.ops.mbar_core import core_stats
+
+    def cond(state):
+        it, _f, _delta, done = state
+        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
+
+    def body(state):
+        it, f, _delta, _done = state
+        _obj, g, _f_sci = core_stats(u_hi, N_k32, f)
+        dx1 = jax.scipy.linalg.cho_solve((chol, False), g[1:])
+        f_new = f - jnp.concatenate([jnp.zeros((1,), f.dtype), dx1])
+        f_new = f_new - f_new[0]
+        div = jnp.maximum(jnp.abs(f_new[1:]), 1.0)
+        delta = jnp.max(jnp.abs(f_new[1:] - f[1:]) / div)
+        bad = ~jnp.isfinite(delta)
+        return it + 1, jnp.where(bad, f, f_new), delta, (delta < tol) | bad
+
+    it, f, delta, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), f0, jnp.asarray(jnp.inf, f0.dtype), False)
+    )
+    return f, it, delta
+
+
 def _newton_factor(gram, colsum, N_k64):
     """Cholesky factor of the reduced Hessian from the f32 Gram (f64 algebra).
 
@@ -178,18 +212,41 @@ def solve_mbar_dd(
         f64 = f64 - f64[0]
         it32_coarse = int(it32_coarse)
 
-    # ---- phase 1b: f32 adaptive solve on the full hi plane
-    f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
-        u_hi,
-        N_k64.astype(jnp.float32),
-        f64.astype(jnp.float32),
-        jnp.asarray(gamma, jnp.float32),
-        jnp.asarray(f32_tol, jnp.float32),
-        f32_maxiter,
-        2,
-        "chol",
-        "mixed",
-    )
+    # ---- phase 1b: full-N f32 refinement.
+    # From the coarse warm start a chord-Newton loop (one fused stats pass
+    # per iteration, Hessian factored once) replaces the reference adaptive
+    # loop (~7 passes per iteration evaluating both candidate steps); the
+    # adaptive loop remains the fallback if chord fails to contract (cold
+    # start, ill-conditioned data).
+    N_k32 = N_k64.astype(jnp.float32)
+    f32_0 = f64.astype(jnp.float32)
+    done32 = False
+    it32 = 0
+    if it32_coarse > 0:
+        from pymbar_tpu.ops.mbar_core import mbar_hessian
+
+        H32 = mbar_hessian(u_hi, N_k32, f32_0)
+        chol32, _low = jax.scipy.linalg.cho_factor(H32[1:, 1:])
+        f32_out, it32, max_delta32 = _newton_while_f32(
+            u_hi, N_k32, f32_0, chol32, jnp.float32(f32_tol), f32_maxiter
+        )
+        it32 = int(it32)
+        done32 = bool(jnp.isfinite(max_delta32) & (max_delta32 < f32_tol))
+    if not done32:
+        f_start = f32_out if it32 else f32_0
+        f32_out, it32b, sci, nr, max_delta32, done32 = _adaptive_while(
+            u_hi,
+            N_k32,
+            f_start,
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(f32_tol, jnp.float32),
+            f32_maxiter,
+            2,
+            "chol",
+            "mixed",
+        )
+        it32 += int(it32b)
+        done32 = bool(done32)
     f64 = f32_out.astype(jnp.float64)
     f64 = (f64 - f64[0]).block_until_ready()
     t_phase1 = time.time() - t_phase1
@@ -260,7 +317,14 @@ def solve_mbar_dd(
         # A step below 1e-9 leaves a remaining error another ~2 orders down
         # (contraction is ~1e-2/iter): already far past any reachable tol.
         tiny = max_delta < 1.0e-9
-        if stalled or tiny:
+        # Predictive stop: with steady contraction r = delta/prev, the next
+        # step would be ~ delta * r; when that extrapolates below 1e-9 the
+        # iterate is already within ~1e-10 of the fixed point and the next
+        # kernel pass would only confirm it.
+        predicted_next = (
+            max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
+        )
+        if stalled or tiny or predicted_next < 1.0e-9:
             converged = True
             at_noise_floor = True
             break
