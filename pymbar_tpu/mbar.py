@@ -23,7 +23,7 @@ import numpy as np
 from pymbar_tpu import solvers as mbar_solvers
 from pymbar_tpu.ops.logsumexp import logsumexp as dev_logsumexp
 from pymbar_tpu.ops.mbar_core import log_denominator_n as dev_log_denominator_n
-from pymbar_tpu.ops.mbar_core import mbar_log_W_nk
+from pymbar_tpu.ops.mbar_core import mbar_gram_normalization, mbar_log_W_nk
 from pymbar_tpu.solvers import (
     BOOTSTRAP_SOLVER_PROTOCOL,
     DEFAULT_SOLVER_PROTOCOL,
@@ -86,6 +86,7 @@ class MBAR:
         n_bootstraps=0,
         bootstrap_solver_protocol=None,
         rseed=None,
+        mesh=None,
     ):
         self.N_k = np.array(N_k, dtype=np.int64)
         self.N = int(np.sum(self.N_k))
@@ -179,16 +180,45 @@ class MBAR:
                 logger.info("f_k = ")
                 logger.info(self.f_k)
 
+        # Multi-chip front door: mesh="auto" picks up every visible device;
+        # an explicit jax.sharding.Mesh is honored as-is.  With a mesh the
+        # solve routes through the n-sharded double-word path
+        # (parallel.sharding.sharded_solve_mbar_for_all_states) — a user
+        # with a v5e-8 writes MBAR(u_kn, N_k, mesh="auto") and gets the
+        # 8-chip solve.  An explicit solver_protocol overrides the mesh
+        # routing for the solve itself (protocol semantics win), with a
+        # warning.
+        import jax as _jax
+
+        if mesh == "auto":
+            from pymbar_tpu.parallel.sharding import default_mesh
+
+            mesh = default_mesh() if len(_jax.devices()) > 1 else None
+        self.mesh = mesh
+        if mesh is not None and solver_protocol is not None:
+            logger.warning(
+                "Both mesh and an explicit solver_protocol were given; the "
+                "explicit protocol runs on the default device and the mesh "
+                "is ignored for the solve."
+            )
+            self.mesh = mesh = None
+
         # Large problems on TPU auto-route to the two-phase double-word
         # solver ("dd", solvers_large): same answer to ~1e-11, ~5x the
-        # speed of the f64-emulation adaptive path at the GB scale.  Any
-        # explicit solver_protocol (including the reference defaults by
-        # name) is honored untouched.
-        if solver_protocol is None and self.u_kn.nbytes >= 2 * 2**30:
+        # speed of the f64-emulation adaptive path at the GB scale; with
+        # multiple chips visible the same route shards the sample axis
+        # over the mesh automatically.  Any explicit solver_protocol
+        # (including the reference defaults by name) is honored untouched.
+        if solver_protocol is None and mesh is None and self.u_kn.nbytes >= 2 * 2**30:
             from pymbar_tpu.config import on_tpu
 
             if on_tpu():
-                solver_protocol = (dict(method="dd", options=dict()),)
+                if len(_jax.devices()) > 1:
+                    from pymbar_tpu.parallel.sharding import default_mesh
+
+                    self.mesh = mesh = default_mesh()
+                else:
+                    solver_protocol = (dict(method="dd", options=dict()),)
 
         # Normalize the solver protocols exactly as the reference does
         # (mbar.py:367-411): fill options/continuation defaults and raise
@@ -200,9 +230,18 @@ class MBAR:
             bootstrap_solver_protocol, BOOTSTRAP_SOLVER_PROTOCOL, maximum_iterations
         )
 
-        self.f_k = mbar_solvers.solve_mbar_for_all_states(
-            self.u_kn, self.N_k, self.f_k, self.states_with_samples, solver_protocol
-        )
+        if mesh is not None:
+            from pymbar_tpu.parallel.sharding import (
+                sharded_solve_mbar_for_all_states,
+            )
+
+            self.f_k = sharded_solve_mbar_for_all_states(
+                self.u_kn, self.N_k, self.f_k, self.states_with_samples, mesh
+            )
+        else:
+            self.f_k = mbar_solvers.solve_mbar_for_all_states(
+                self.u_kn, self.N_k, self.f_k, self.states_with_samples, solver_protocol
+            )
 
         self.n_bootstraps = n_bootstraps
         if n_bootstraps > 0:
@@ -416,13 +455,23 @@ class MBAR:
     # Diagnostics
     # -------------------------------------------------------------------------
 
+    def _gram_colsum(self):
+        """(W^T W, colsum W) via one streamed device pass — W never exists
+        in (N, K) form.  Sum_n W_nk^2 = Gram diagonal; overlap and the
+        asymptotic covariance consume the same aggregates."""
+        gram, colsum, _rowstats = mbar_gram_normalization(
+            self.u_kn, self.N_k, self.f_k, tolerance=np.inf
+        )
+        return np.asarray(gram), np.asarray(colsum)
+
     def compute_effective_sample_number(self, verbose=False):
         """Kish effective sample size per state: 1 / sum_n W_nk^2.
 
-        Reference mbar.py:496-560.
+        Reference mbar.py:496-560.  Sum_n W_nk^2 is the Gram diagonal, so
+        this runs as a streamed device pass with no N×K materialization.
         """
-        W = np.exp(self.Log_W_nk)
-        N_eff = 1.0 / np.sum(W**2, axis=0)
+        gram, _ = self._gram_colsum()
+        N_eff = 1.0 / np.diag(gram)
         if verbose:
             for k in range(self.K):
                 logger.info(
@@ -430,7 +479,7 @@ class MBAR:
                 )
                 logger.info(
                     "Efficiency for state {:d} is {:6f}/{:d} = {:10.4f}".format(
-                        k, N_eff[k], W.shape[0], N_eff[k] / W.shape[0]
+                        k, N_eff[k], self.N, N_eff[k] / self.N
                     )
                 )
         return N_eff
@@ -439,11 +488,11 @@ class MBAR:
         """State-overlap matrix O = N_k (W^T W) and its spectrum.
 
         Returns dict(scalar, eigenvalues, matrix); scalar = 1 - second-largest
-        eigenvalue (reference mbar.py:563-617).
+        eigenvalue (reference mbar.py:563-617).  W^T W comes from the
+        streamed device Gram.
         """
-        W = jnp.asarray(self.Log_W_nk)
-        W = jnp.exp(W)
-        O = np.asarray(self.N_k * np.array(jnp.dot(W.T, W)))
+        gram, _ = self._gram_colsum()
+        O = self.N_k * gram
         eigenvals = np.linalg.eigvals(O)
         eigenvals = np.sort(eigenvals)[::-1]
         overlap_scalar = 1 - eigenvals[1]
@@ -481,9 +530,7 @@ class MBAR:
 
         Theta_ij = None
         if (compute_uncertainty and uncertainty_method != "bootstrap") or return_theta:
-            Theta_ij = self._computeAsymptoticCovarianceMatrix(
-                np.exp(self.Log_W_nk), self.N_k, method=uncertainty_method
-            )
+            Theta_ij = self._compute_theta_streamed(method=uncertainty_method)
 
         if compute_uncertainty:
             if uncertainty_method == "bootstrap":
@@ -1113,21 +1160,86 @@ class MBAR:
             # algebra runs host-side in native f64 (on TPU an emulated-f64
             # eigh/pinv is minutes-slow for zero benefit at K <= few 1000).
             gram = np.asarray(_wtw_gram(W), dtype=np.float64)
-            S2, V = np.linalg.eigh(gram)
-            S2 = np.where(S2 < 0.0, 0.0, S2)
-            Sigma_diag = np.sqrt(S2)
-            Np = np.asarray(N_k, dtype=np.float64)
-            I = np.identity(gram.shape[0], dtype=np.float64)
-            # inner = I - Sigma V^T diag(N) V Sigma, built with diagonal scaling
-            # instead of dense diag matmuls.
-            VS = V * Sigma_diag[None, :]  # V @ Sigma
-            inner = I - VS.T @ (Np[:, None] * VS)
-            inner_pinv = np.linalg.pinv(inner, rcond=1.0e-10)
-            Theta = VS @ inner_pinv @ VS.T
+            Theta = self._theta_svd_ew_from_gram(gram, N_k)
         else:
             raise ParameterError(f"Method {method} unrecognized.")
 
         return Theta
+
+    @staticmethod
+    def _theta_svd_ew_from_gram(gram, N_k):
+        """Eq. D4/D5 covariance from the K×K Gram alone (reference
+        mbar.py:1837-1858): eigh(W^T W) supplies Sigma^2 and V, negative
+        eigenvalues clamp to zero, and the inner pinv uses rcond=1e-10."""
+        S2, V = np.linalg.eigh(gram)
+        S2 = np.where(S2 < 0.0, 0.0, S2)
+        Sigma_diag = np.sqrt(S2)
+        Np = np.asarray(N_k, dtype=np.float64)
+        I = np.identity(gram.shape[0], dtype=np.float64)
+        # inner = I - Sigma V^T diag(N) V Sigma, built with diagonal scaling
+        # instead of dense diag matmuls.
+        VS = V * Sigma_diag[None, :]  # V @ Sigma
+        inner = I - VS.T @ (Np[:, None] * VS)
+        inner_pinv = np.linalg.pinv(inner, rcond=1.0e-10)
+        return VS @ inner_pinv @ VS.T
+
+    def _compute_theta_streamed(self, method=None):
+        """Theta over the base K states with W consumed in Gram form only.
+
+        Covers the 'approximate' and (default) 'svd-ew' estimators — both
+        are pure functions of W^T W — via one streamed device pass
+        (:func:`mbar_gram_normalization`), including the reference's
+        ``check_w_normalized`` validation rebuilt from the pass's aggregates.
+        No N×K array is ever allocated, on host or device; at the BASELINE
+        north star (K=1024, N=1e7) the reference's W would be 80 GB.  The
+        'svd' estimator genuinely needs the SVD of W itself and falls back
+        to the materializing path (it exists for cross-validation at small
+        scale: reference mbar.py:1818-1835).
+        """
+        if method is None or method == "bootstrap":
+            method = "svd-ew"
+        if method == "svd":
+            return self._computeAsymptoticCovarianceMatrix(
+                np.exp(self.Log_W_nk), self.N_k, method="svd"
+            )
+        if method not in ("svd-ew", "approximate"):
+            raise ParameterError(f"Method {method} unrecognized.")
+
+        gram, colsum, rowstats = mbar_gram_normalization(
+            self.u_kn, self.N_k, self.f_k
+        )
+        self._check_normalized_aggregates(np.asarray(colsum), rowstats)
+        gram = np.asarray(gram, dtype=np.float64)
+        if method == "approximate":
+            return gram
+        return self._theta_svd_ew_from_gram(gram, self.N_k)
+
+    @staticmethod
+    def _check_normalized_aggregates(column_sums, rowstats, tolerance=1.0e-4):
+        """check_w_normalized (utils.py:340-393 parity) from streamed
+        aggregates: the K column sums plus (count, first index, value) of
+        the bad rows, instead of two full host passes over W."""
+        badcolumns = np.abs(column_sums - 1) > tolerance
+        if np.any(badcolumns):
+            firstbad = int(np.flatnonzero(badcolumns)[0])
+            raise ParameterError(
+                "Warning: Should have \\sum_n W_nk = 1. "
+                f"Actual column sum for state {firstbad:d} was "
+                f"{column_sums[firstbad]:f}. "
+                f"{int(np.sum(badcolumns)):d} other columns have similar "
+                "problems. \n"
+                "This generally indicates the free energies are not converged."
+            )
+        n_bad_rows, first_bad_row, first_bad_val = rowstats
+        if n_bad_rows > 0:
+            raise ParameterError(
+                "Warning: Should have \\sum_k N_k W_nk = 1. "
+                f"Actual row sum for sample {first_bad_row:d} was "
+                f"{first_bad_val:f}. "
+                f"{n_bad_rows:d} other rows have similar problems. \n"
+                "This generally indicates the free energies are not converged."
+            )
+        return None
 
     def _initializeFreeEnergies(self, verbose=False, method="zeros", f_k_init=None):
         """Initial f_k guess: zeros / mean-reduced-potential / BAR chain

@@ -46,6 +46,7 @@ __all__ = [
     "mbar_log_W_nk",
     "mbar_W_nk",
     "mbar_w_nk_gram",
+    "mbar_gram_normalization",
     "gram_f32_acc64",
     "precondition_u_kn",
 ]
@@ -361,6 +362,102 @@ def mbar_w_nk_gram(u_kn, N_k, f_k):
 
     acc_dtype = jnp.float32 if (on_tpu() and u_kn.dtype == jnp.float64) else u_kn.dtype
     return _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype)
+
+
+@partial(jax.jit, static_argnames=("num_chunks", "compute_dtype"))
+def _gram_norm_blocked(u_kn, N_k, f_k, tolerance, num_chunks, compute_dtype):
+    """Streamed Gram + both W-normalization checks in one pass over u_kn.
+
+    Per n-chunk: build the K×chunk weight slab w (in ``compute_dtype``),
+    contract it on the MXU, and fold in (a) the per-state column sums and
+    (b) the per-sample row sums sum_k N_k W_nk, whose deviation from 1 is
+    reduced to (bad count, first bad index, value at first bad index) so the
+    reference diagnostic (utils.py:340-393 semantics) can be reproduced
+    without an N-sized host array.  Accumulation is f64 (native on CPU,
+    emulated-but-cheap K×K on TPU).
+    """
+    K, N = u_kn.shape
+    logden = log_denominator_n(u_kn, N_k, f_k)
+    nc = max(1, N // num_chunks)
+    num_chunks = N // nc
+    big = jnp.asarray(N + 1, dtype=jnp.int64)
+
+    def fold(acc, sl, ldc, base):
+        gram, colsum, cnt, fidx, fval = acc
+        w = jnp.exp(
+            (f_k[:, None] - sl - ldc[None, :]).astype(compute_dtype)
+        )
+        # Sentinel pad columns (sharded dd layout) are phantom samples.
+        w = jnp.where(sl.astype(compute_dtype) >= 5.0e9, 0.0, w)
+        g = jnp.dot(w, w.T, preferred_element_type=compute_dtype)
+        gram = gram + g.astype(jnp.float64)
+        colsum = colsum + jnp.sum(w, axis=1).astype(jnp.float64)
+        rowsum = jnp.dot(N_k.astype(compute_dtype), w).astype(jnp.float64)
+        bad = jnp.abs(rowsum - 1.0) > tolerance
+        cnt = cnt + jnp.sum(bad)
+        local_first = jnp.argmax(bad)
+        gidx = jnp.where(jnp.any(bad), base + local_first, big)
+        take = gidx < fidx
+        fidx = jnp.where(take, gidx, fidx)
+        fval = jnp.where(take, rowsum[local_first], fval)
+        return gram, colsum, cnt, fidx, fval
+
+    def body(c, acc):
+        sl = jax.lax.dynamic_slice(u_kn, (0, c * nc), (K, nc))
+        ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
+        return fold(acc, sl, ldc, (c * nc).astype(jnp.int64))
+
+    init = (
+        jnp.zeros((K, K), jnp.float64),
+        jnp.zeros(K, jnp.float64),
+        jnp.zeros((), jnp.int64),
+        big,
+        jnp.zeros((), jnp.float64),
+    )
+    acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    rem = N - nc * num_chunks
+    if rem > 0:
+        acc = fold(
+            acc,
+            u_kn[:, nc * num_chunks :],
+            logden[nc * num_chunks :],
+            jnp.asarray(nc * num_chunks, jnp.int64),
+        )
+    return acc
+
+
+def mbar_gram_normalization(u_kn, N_k, f_k, tolerance=1.0e-4):
+    """(W^T W, colsum W, row-check stats) without ever materializing W.
+
+    The aggregates the covariance estimators (Eq. D4/D5, Kong 2003) and the
+    reference's ``check_w_normalized`` need, produced by one streamed device
+    pass over the (K, N) layout: Gram and per-state column sums in f64, plus
+    (bad row count, first bad row index, its row sum) for the
+    sum_k N_k W_nk = 1 check.  On TPU with f64 inputs the per-chunk matmul
+    runs in f32 on the MXU with f64 chunk accumulation (the same recipe as
+    :func:`gram_f32_acc64`: ~1e-9 relative Gram accuracy at a fraction of
+    the emulated-f64 cost); on CPU everything is native f64.
+
+    Replaces the reference's host N×K materialization
+    (mbar.py:1756-1864 consuming exp(Log_W_nk)) — at the BASELINE north star
+    (K=1024, N=1e7) that W is 80 GB and cannot exist.
+    """
+    u_kn = jnp.asarray(u_kn)
+    N_k = jnp.asarray(N_k, dtype=u_kn.dtype)
+    f_k = jnp.asarray(f_k, dtype=u_kn.dtype)
+    nbytes = u_kn.size * u_kn.dtype.itemsize
+    from pymbar_tpu.config import on_tpu
+
+    if on_tpu() and u_kn.dtype == jnp.float64:
+        compute_dtype = jnp.float32
+    else:
+        compute_dtype = u_kn.dtype
+    num_chunks = max(1, int(nbytes // _GRAM_CHUNK_BYTES))
+    gram, colsum, cnt, fidx, fval = _gram_norm_blocked(
+        u_kn, N_k, f_k, jnp.asarray(tolerance, jnp.float64), num_chunks,
+        compute_dtype,
+    )
+    return gram, colsum, (int(cnt), int(fidx), float(fval))
 
 
 def mbar_hessian(u_kn, N_k, f_k):

@@ -29,6 +29,7 @@ __all__ = [
     "shard_dd_planes",
     "sharded_fused_lognum_dd",
     "sharded_solve_mbar_dd",
+    "sharded_solve_mbar_for_all_states",
 ]
 
 
@@ -705,3 +706,53 @@ def sharded_solve_mbar_dd(
         phase1_s=t_phase1,
         phase2_s=time.time() - t_phase2,
     )
+
+
+def sharded_solve_mbar_for_all_states(
+    u_kn, N_k, f_k, states_with_samples, mesh=None, tol=1.0e-12, axis_name="n"
+):
+    """Multi-chip analog of ``solve_mbar_for_all_states`` — the MBAR class's
+    sharded front door.
+
+    Same contract as the single-device version (reference
+    mbar_solvers.py:977-1017): solve on the states with samples, then one
+    self-consistent update over ALL K states to fill the empty ones, and
+    re-pin f_0 = 0.  The solve itself is the double-word n-sharded path
+    (:func:`sharded_solve_mbar_dd`); the empty-state fill is one sharded
+    fused pass.  Returns f_k (K,) float64.
+    """
+    from pymbar_tpu.solvers_large import split_u_kn_streamed
+
+    if mesh is None:
+        mesh = default_mesh(axis_name=axis_name)
+
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    N_k = np.asarray(N_k, dtype=np.float64)
+    f_k = np.array(f_k, dtype=np.float64, copy=True)
+    sws = np.asarray(states_with_samples)
+
+    u_sub = u_kn[sws]
+    # Per-sample shift (the MBAR equations are invariant under column
+    # shifts) so the dd split sees small, cancellation-friendly values.
+    u_pre = u_sub - u_sub.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_pre)
+    f_sub, info = sharded_solve_mbar_dd(
+        uh, ul, N_k[sws], f_k=f_k[sws] - f_k[sws][0], mesh=mesh, tol=tol,
+        axis_name=axis_name,
+    )
+    if not info.get("converged", False):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sharded MBAR solve did not converge to within tolerance "
+            f"(gnorm={info.get('gnorm', float('nan')):.3e})"
+        )
+    f_k[sws] = f_sub
+
+    if len(sws) < len(N_k):
+        # Empty-state fill: one SC update over all K states (empty states
+        # carry N_k = 0 and drop out of the denominator exactly).
+        u_all, _ = shard_u_kn(u_kn, mesh, axis_name)
+        _, _, f_sci = sharded_core_stats(u_all, N_k, jnp.asarray(f_k), mesh, axis_name)
+        f_k = np.asarray(f_sci, dtype=np.float64)
+    return f_k - f_k[0]

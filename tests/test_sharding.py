@@ -173,6 +173,53 @@ def test_sharded_solve_mbar_dd_matches_single_device():
     assert np.max(np.abs(f_shard - f_true)) < 0.1  # statistical
 
 
+def test_mbar_class_mesh_front_door(problem):
+    """MBAR(u_kn, N_k, mesh=...) on the 8-device mesh == single-device MBAR
+    to 1e-10, including an empty state (solve_mbar_for_all_states
+    semantics, reference mbar_solvers.py:977-1017)."""
+    u_kn, N_k, f_k, test = problem
+    # Insert an empty state between the sampled ones.
+    K, N = u_kn.shape
+    u_aug = np.insert(u_kn, 2, u_kn[1] + 0.7, axis=0)
+    N_aug = np.insert(N_k.astype(int), 2, 0)
+
+    mesh = default_mesh(8)
+    m_sharded = MBAR(u_aug, N_aug, mesh=mesh)
+    m_single = MBAR(u_aug, N_aug)
+    assert np.max(np.abs(m_sharded.f_k - m_single.f_k)) < 1e-10
+
+    # Downstream consumers see identical results.
+    r_s = m_sharded.compute_free_energy_differences()
+    r_1 = m_single.compute_free_energy_differences()
+    assert_allclose(r_s["Delta_f"], r_1["Delta_f"], atol=1e-9)
+    assert_allclose(r_s["dDelta_f"], r_1["dDelta_f"], atol=1e-8)
+
+
+def test_mbar_class_mesh_auto(problem):
+    """mesh='auto' resolves to the full visible mesh and solves correctly."""
+    u_kn, N_k, f_k, test = problem
+    m_auto = MBAR(u_kn, N_k.astype(int), mesh="auto")
+    assert m_auto.mesh is not None
+    m_single = MBAR(u_kn, N_k.astype(int))
+    assert np.max(np.abs(m_auto.f_k - m_single.f_k)) < 1e-10
+
+
+def test_mbar_class_mesh_with_protocol_warns(problem, caplog):
+    """Explicit solver_protocol + mesh falls back to single-device solve."""
+    import logging
+
+    u_kn, N_k, f_k, test = problem
+    with caplog.at_level(logging.WARNING, logger="pymbar_tpu.mbar"):
+        m = MBAR(
+            u_kn,
+            N_k.astype(int),
+            mesh=default_mesh(8),
+            solver_protocol=(dict(method="adaptive"),),
+        )
+    assert m.mesh is None
+    assert any("mesh is ignored" in r.message for r in caplog.records)
+
+
 def test_sharded_fused_lognum_matches_ref():
     """Sharded fused lognum (pads + dd merge) == unsharded f64 logsumexp."""
     from scipy.special import logsumexp as lse
