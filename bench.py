@@ -107,12 +107,19 @@ def _setup():
     return jax, jnp, gen_dd, gen_f64, N_k64, f_analytic
 
 
+# Static VPU flop count per (k, n) element of the wsum kernel (one dd exp
+# via dd_exp_neg_fast ~185 f32 ops + argument assembly ~24 + column-max 2 +
+# two dd tree-sum levels ~22 + the dd weight multiply ~22); documented in
+# docs/numerics.md.  Used to convert the measured pass time into TFLOP/s.
+WSUM_FLOPS_PER_ELEM = 255
+
+
 def tpu_solve():
     jax, jnp, gen_dd, gen_f64, N_k64, f_analytic = _setup()
 
     from pymbar_tpu.ops.doubledouble import dd_from_f64
     from pymbar_tpu.ops.mbar_core import log_denominator_n
-    from pymbar_tpu.ops.pallas_kernels import logden_dd
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd
     from pymbar_tpu.solvers_large import solve_mbar_dd
 
     key = jax.random.PRNGKey(20260816)
@@ -131,19 +138,22 @@ def tpu_solve():
     f = f - f[0]
     delta_f_rmse = float(np.sqrt(np.mean((f - f_analytic) ** 2)))
 
-    # Throughput of the hot reduction, Pallas dd (planes still resident).
+    # Throughput of the hot reduction — the fused wsum kernel (one dd
+    # logsumexp-weights pass over both planes; planes still resident).
+    # Best of 5 singles (the sustained rate, free of scheduler jitter).
     gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k64))
-    ldh, ldl = logden_dd(u_hi, u_lo, gh, gl)
-    jax.block_until_ready(ldh)
-    t0 = time.time()
-    for _ in range(3):
-        ldh, ldl = logden_dd(u_hi, u_lo, gh, gl)
-    jax.block_until_ready(ldh)
-    dd_pass = (time.time() - t0) / 3
+    out = wsum_dd(u_hi, u_lo, gh, gl)
+    jax.block_until_ready(out)
+    dd_pass = np.inf
+    for _ in range(5):
+        t0 = time.time()
+        out = wsum_dd(u_hi, u_lo, gh, gl)
+        jax.block_until_ready(out)
+        dd_pass = min(dd_pass, time.time() - t0)
 
     # Free the planes, regenerate the same problem in f64 (deterministic
     # PRNG), and cross-check with the XLA-f64 adaptive solver.
-    del u_hi, u_lo, ldh, ldl, gh, gl
+    del u_hi, u_lo, out, gh, gl
     u64 = gen_f64(key)
     jax.block_until_ready(u64)
 
@@ -170,7 +180,9 @@ def tpu_solve():
         out = jitted(u64, N_k64, jnp.asarray(f))
     jax.block_until_ready(out)
     f64_pass = (time.time() - t0) / 3
-    del u64
+    del u64, out
+
+    k4096 = k4096_slice(jax, jnp)
 
     return dict(
         solve_s=solve_s,
@@ -181,10 +193,90 @@ def tpu_solve():
         polish_deltas=["%.1e" % d for d in info.get("deltas", [])],
         converged=bool(info["converged"]),
         gnorm=info["gnorm"],
+        gnorm_per_sample=info["gnorm"] / N_PER_STATE,
         delta_f_rmse_vs_analytic=delta_f_rmse,
         delta_f_max_err_vs_f64=dd_vs_f64,
         logsumexp_dd_gb_s=K * N * 8 / dd_pass / 1e9,
+        logsumexp_dd_tflops=K * N * WSUM_FLOPS_PER_ELEM / dd_pass / 1e12,
         logsumexp_f64_gb_s=K * N * 8 / f64_pass / 1e9,
+        **k4096,
+    )
+
+
+def k4096_slice(jax, jnp):
+    """BASELINE stress-K slice on one chip: K=4096 states (the wsum kernel's
+    single-chip ceiling, tile 128), N = 2^18 samples -> 8.6 GB of planes.
+    Reports kernel GB/s and a full dd solve with its gradient certificate;
+    the ICI-sharded N=1e7 version of this config is the multi-chip dryrun's
+    job (BASELINE.md stress config)."""
+    import jax.numpy as jnp
+
+    from pymbar_tpu.ops.doubledouble import dd_from_f64
+    from pymbar_tpu.ops.mbar_core import _logden_direct
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd
+    from pymbar_tpu.solvers_large import solve_mbar_dd
+
+    K4, NPK4 = 4096, 64
+    N4 = K4 * NPK4
+    O = jnp.linspace(0.0, 5.0, K4, dtype=jnp.float64)
+    Kf = jnp.linspace(1.0, 3.0, K4, dtype=jnp.float64)
+    f_true = np.asarray(-0.5 * jnp.log(2 * jnp.pi / Kf))
+    f_true = f_true - f_true[0]
+    N_k = jnp.full(K4, float(NPK4), dtype=jnp.float64)
+    f0 = jnp.zeros(K4, dtype=jnp.float64)
+    chunks = 32
+
+    @jax.jit
+    def gen(key):
+        z = jax.random.normal(key, (K4, NPK4), dtype=jnp.float32).astype(jnp.float64)
+        x = (O[:, None] + z / jnp.sqrt(Kf)[:, None]).reshape(-1)
+        nc = N4 // chunks
+
+        def body(c, planes):
+            uh, ul = planes
+            xc = jax.lax.dynamic_slice(x, (c * nc,), (nc,))
+            u64 = 0.5 * Kf[:, None] * (xc[None, :] - O[:, None]) ** 2
+            u64 = u64 - jnp.min(u64, axis=0)[None, :]
+            ld = _logden_direct(u64, N_k, f0)
+            u64 = u64 + ld[None, :]
+            hi = u64.astype(jnp.float32)
+            lo = (u64 - hi.astype(jnp.float64)).astype(jnp.float32)
+            return (
+                jax.lax.dynamic_update_slice(uh, hi, (0, c * nc)),
+                jax.lax.dynamic_update_slice(ul, lo, (0, c * nc)),
+            )
+
+        return jax.lax.fori_loop(
+            0, chunks, body,
+            (jnp.zeros((K4, N4), jnp.float32), jnp.zeros((K4, N4), jnp.float32)),
+        )
+
+    uh, ul = gen(jax.random.PRNGKey(4096))
+    jax.block_until_ready(uh)
+
+    Nk_host = np.full(K4, float(NPK4))
+    f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)  # compile + run
+    t0 = time.time()
+    f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)
+    solve_s = time.time() - t0
+
+    gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k))
+    out = wsum_dd(uh, ul, gh, gl)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(3):
+        out = wsum_dd(uh, ul, gh, gl)
+    jax.block_until_ready(out)
+    dd_pass = (time.time() - t0) / 3
+    del uh, ul, out
+
+    rmse = float(np.sqrt(np.mean((np.asarray(f) - f_true) ** 2)))
+    return dict(
+        k4096_solve_s=round(solve_s, 4),
+        k4096_gnorm=info["gnorm"],
+        k4096_gnorm_per_sample=info["gnorm"] / NPK4,
+        k4096_delta_f_rmse_vs_analytic=rmse,
+        k4096_wsum_gb_s=round(K4 * N4 * 8 / dd_pass / 1e9, 1),
     )
 
 
@@ -280,10 +372,17 @@ def main():
                 phase2_s=result.get("phase2_s"),
                 polish_deltas=result.get("polish_deltas"),
                 gradient_norm=result["gnorm"],
+                gradient_norm_per_sample=result["gnorm_per_sample"],
                 delta_f_rmse_vs_analytic=result["delta_f_rmse_vs_analytic"],
                 delta_f_max_err_vs_f64=result["delta_f_max_err_vs_f64"],
                 logsumexp_dd_gb_s=round(result["logsumexp_dd_gb_s"], 1),
+                logsumexp_dd_tflops=round(result["logsumexp_dd_tflops"], 2),
                 logsumexp_f64_gb_s=round(result["logsumexp_f64_gb_s"], 1),
+                k4096_solve_s=result["k4096_solve_s"],
+                k4096_gnorm=result["k4096_gnorm"],
+                k4096_gnorm_per_sample=result["k4096_gnorm_per_sample"],
+                k4096_delta_f_rmse_vs_analytic=result["k4096_delta_f_rmse_vs_analytic"],
+                k4096_wsum_gb_s=result["k4096_wsum_gb_s"],
                 baseline="reference pymbar jax-cpu, N/10 scaled x10",
             )
         )

@@ -35,6 +35,7 @@ __all__ = [
     "dd_from_f64",
     "dd_to_f64",
     "dd_exp_neg",
+    "dd_recip",
 ]
 
 # Plain Python floats: inlined as literals inside Pallas kernels (traced
@@ -112,6 +113,20 @@ def dd_from_f64(x64):
 def dd_to_f64(hi, lo):
     """Recombine a double-word pair into float64 (outside kernels)."""
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def dd_recip(y_hi, y_lo):
+    """1 / (y_hi + y_lo) in double-word arithmetic (~2^-48 relative error).
+
+    One f32 division seeds q1 = 1/y_hi; the residual 1 - q1*y is formed
+    error-free (1 - fl(q1*y_hi) is exact by Sterbenz since fl(q1*y_hi) is
+    within one ulp of 1) and one Newton correction recovers the low word.
+    ~20 flops — cheap enough per-column inside kernels.
+    """
+    q1 = jnp.float32(1.0) / y_hi
+    p, pe = two_prod(q1, y_hi)
+    r = ((jnp.float32(1.0) - p) - pe) - q1 * y_lo
+    return fast_two_sum(q1, q1 * r)
 
 
 # -----------------------------------------------------------------------------
@@ -213,8 +228,11 @@ def _exact_mul_split(x, k_bits=11):
 _LN2_16_HI, _LN2_16_MID, _LN2_16_LO = _exact_mul_split(math.log(2.0) / 16.0)
 _INV_LN2_16 = 16.0 / math.log(2.0)
 
-# 2^(j/16) for j = 0..15 as double-f32 pairs.
-_POW16 = [_dd_const(2.0 ** (j / 16.0)) for j in range(16)]
+# 2^(j/16) factored as 2^(j0/16) * 2^(j1/4) with j = j1*4 + j0: two 4-entry
+# double-f32 tables, each gathered by a 2-level select tree (TPU has no fast
+# vector gather) and applied with one dd multiply each.
+_POW16_0 = [_dd_const(2.0 ** (j / 16.0)) for j in range(4)]
+_POW16_1 = [_dd_const(2.0 ** (j / 4.0)) for j in range(4)]
 
 # f32 tail of exp(r) on |r| <= ln2/32 ~ 0.0217: T(r) = sum_{n>=3} r^(n-3)/n!.
 _TAIL16 = [1.0 / math.factorial(n) for n in range(3, 8)]
@@ -249,30 +267,37 @@ def dd_exp_neg_fast(a_hi, a_lo, clamp=-85.0):
     # ulp(0.5)/2 ~ 3e-8 rounding error under r^2, i.e. ~1.4e-11 in exp(r).
     c2_hi, c2_lo = two_sum(f32(0.5), r_hi * tail)
     q_hi, q_lo = dd_mul(p_hi, p_e, c2_hi, c2_lo)
-    # 1 + r + q assembled with Knuth two_sum only: XLA's algebraic
-    # simplifier folds the 3-op fast_two_sum error term of (1.0 + r) to
-    # zero under jit, silently destroying the compensation.
+    # 1 + r + q assembled with Knuth two_sum only, constant-last: XLA's
+    # algebraic simplifier folds the compensation terms of any two_sum whose
+    # FIRST operand is the literal 1.0 (and the 3-op fast_two_sum variant
+    # too), silently destroying the low word under jit.
     e_hi, e_lo = dd_add_f(*dd_add(q_hi, q_lo, r_hi, jnp.zeros_like(r_hi)), f32(1.0))
     e_lo = e_lo + e_hi * r_lo
 
-    # 2^(j/16) via a 4-level select tree on the bits of j = k mod 16.
+    # 2^(j/16) = 2^(j0/16) * 2^(j1/4), each factor a 4-entry dd select.
     ki = k.astype(jnp.int32)
     j = jnp.bitwise_and(ki, jnp.int32(15))
-    c_hi = jnp.full_like(a_hi, f32(_POW16[0][0]))
-    c_lo = jnp.full_like(a_hi, f32(_POW16[0][1]))
-    # level-by-level halving: at level b, select between table halves.
-    idx = j
-    for b in (8, 4, 2, 1):
-        pass  # unrolled below with explicit tables
-    # Build by binary digits: c = prod over set bits of 2^(bit/16).
-    for bit in (1, 2, 4, 8):
-        m_hi, m_lo = _dd_const(2.0 ** (bit / 16.0))
-        sel = jnp.bitwise_and(j, jnp.int32(bit)) != 0
-        n_hi, n_lo = dd_mul(c_hi, c_lo, f32(m_hi), f32(m_lo))
-        c_hi = jnp.where(sel, n_hi, c_hi)
-        c_lo = jnp.where(sel, n_lo, c_lo)
+    j0 = jnp.bitwise_and(j, jnp.int32(3))
 
-    e_hi, e_lo = dd_mul(e_hi, e_lo, c_hi, c_lo)
+    def _sel4(table, idx):
+        b0 = jnp.bitwise_and(idx, jnp.int32(1)) != 0
+        b1 = jnp.bitwise_and(idx, jnp.int32(2)) != 0
+        h = jnp.where(
+            b1,
+            jnp.where(b0, f32(table[3][0]), f32(table[2][0])),
+            jnp.where(b0, f32(table[1][0]), f32(table[0][0])),
+        )
+        lo = jnp.where(
+            b1,
+            jnp.where(b0, f32(table[3][1]), f32(table[2][1])),
+            jnp.where(b0, f32(table[1][1]), f32(table[0][1])),
+        )
+        return h, lo
+
+    c0_hi, c0_lo = _sel4(_POW16_0, j0)
+    c1_hi, c1_lo = _sel4(_POW16_1, jax.lax.shift_right_logical(j, jnp.int32(2)))
+    e_hi, e_lo = dd_mul(e_hi, e_lo, c0_hi, c0_lo)
+    e_hi, e_lo = dd_mul(e_hi, e_lo, c1_hi, c1_lo)
 
     q = jax.lax.shift_right_arithmetic(ki - j, jnp.int32(4))
     two_q = _pow2_f32(q)

@@ -9,14 +9,21 @@ times higher at ~1e-13 effective precision.
 
 Kernels
 -------
+* ``wsum_dd``    — THE polish kernel: S_k = sum_n N_k W_nk in one pass, one
+                   dd exp per element (the lognum terms factor exactly as
+                   T1/s_n — see docs/numerics.md).  gradient = S - N_k.
+* ``denom_sums_dd`` / ``wsum_denom_dd`` — the same pass split at the
+                   k-block boundary, for K-sharded (2-D mesh) solves and
+                   the k-blocked large-K single-device route.
 * ``logden_dd``  — per-sample logsumexp over states:
                    logden_n = log sum_k exp(g_k - u_kn),  g_k = f_k + ln N_k
 * ``lognum_dd``  — per-state logsumexp over samples with a precomputed
                    stabilizing max: lognum_k = log sum_n exp(-logden_n - u_kn)
 
-Both tile the sample axis; the full K extent lives in VMEM per tile
-(K <= ~2048 for f32 pairs at the default tile width).  K beyond that is the
-domain of the K-sharded mesh (pymbar_tpu.parallel), not of a single kernel.
+All tile the sample axis with the K extent VMEM-resident per tile; wsum
+k-blocks internally above 2048 padded states (grid dim 0), so a single chip
+covers K = 4096 at two passes of HBM traffic.  Larger K belongs to the
+K-sharded mesh (pymbar_tpu.parallel.sharded2d_solve_mbar_dd).
 
 Padding conventions: N is padded to the tile width and K to a power of two
 with ``u = +1e10`` / ``g = -1e10`` sentinel entries — large-but-finite so the
@@ -37,10 +44,19 @@ from pymbar_tpu.ops.doubledouble import (
     dd_exp_neg,
     dd_exp_neg_fast,
     dd_mul,
+    dd_recip,
     two_sum,
 )
 
-__all__ = ["logden_dd", "lognum_dd", "lognum_fused_dd", "dd_log_pos"]
+__all__ = [
+    "logden_dd",
+    "lognum_dd",
+    "lognum_fused_dd",
+    "wsum_dd",
+    "denom_sums_dd",
+    "wsum_denom_dd",
+    "dd_log_pos",
+]
 
 _TILE_N = None  # auto: sized from K to fit VMEM (see _pick_tile)
 _PAD_U = 1.0e10  # sentinel potential for padded rows/columns
@@ -64,6 +80,24 @@ def _pick_tile(K):
     t = int(max(128, min(512, t)))
     # The in-kernel dd tree reductions pair-halve the tile extent, so the
     # tile MUST be a power of two (384 would silently drop columns).
+    return 1 << (t.bit_length() - 1)
+
+
+def _pick_tile_wsum(K):
+    """Tile width for the one-exp wsum kernel (smaller live set than the
+    two-exp kernels: one T1 pair plus exp temps).  Measured on v5e: at
+    K_pad=1024 tile 512 compiles and runs at peak (121 GB/s), tile 1024
+    blows VMEM — budget K*tile <= 2^19 elements, tile in [128, 512].
+    K_pad up to 4096 fits at the 128-wide minimum tile, so the single-chip
+    kernel covers the K=4096 stress config directly.
+    """
+    if K > 4096:
+        raise ValueError(
+            f"K={K} exceeds the single-kernel VMEM capacity (~4096 states); "
+            "shard states across chips with pymbar_tpu.parallel.mesh_2d / "
+            "sharded2d_solve_mbar instead."
+        )
+    t = int(max(128, min(512, (1 << 19) // max(K, 1))))
     return 1 << (t.bit_length() - 1)
 
 
@@ -418,6 +452,380 @@ def lognum_fused_dd(
     lh, ll = dd_log_pos(s_hi, s_lo)
     t_hi, t_e = two_sum(lh, m_k[:K])
     return t_hi, ll + t_e
+
+
+# Above this many (padded) states a single wsum/fused tile no longer fits
+# VMEM (measured on v5e: K=1024 x tile 512 compiles, K=4096 x tile 128 is
+# 19.9M vs the 16M scoped limit); larger K routes through the two-pass
+# k-blocked scheme (denominator partials + weight sums, same dd math).
+_WSUM_MAX_K = 2048
+
+
+def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
+    """One (K, TILE_N) tile: accumulate S_k += sum_n N_k W_nk, one exp/element.
+
+    The polish iteration's two logsumexp reductions collapse algebraically:
+    with T1 = exp((g - u) - m_n) the logden terms and s_n their column sum,
+    the lognum terms are exactly T1 / s_n (= N_k W_nk, each in [0, 1]), so
+    one dd exp + one dd reciprocal per column + one dd multiply replace the
+    second full exp evaluation — ~2x fewer VPU flops per element than the
+    logden+lognum formulation (_fused_polish_kernel).  The accumulated
+    S_k = sum_n N_k W_nk gives the gradient directly (g_k = S_k - N_k) and
+    the SC update (f_sci = f_k + ln N_k - ln S_k); no stabilizer m_k or
+    final log is needed since every term is in [0, 1] and S_k <= N.
+    """
+    i = pl.program_id(0)
+    uh = uh_ref[:, :]
+    ul = ul_ref[:, :]
+    gh = gh_ref[:, :]  # (K, 1)
+    gl = gl_ref[:, :]
+
+    m = jnp.max(gh - uh, axis=0, keepdims=True)  # (1, T)
+    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m, fast=fast)  # T1, dd
+    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)  # (1, T) denom sums
+
+    r_hi, r_lo = dd_recip(s_hi, s_lo)
+    # Padded sample columns (u = +PAD everywhere) have s ~ K * exp(clamp):
+    # T1/s would be a phantom 1/K weight — zero their reciprocal instead.
+    # Row 0 is always an original state row.
+    pad_col = uh[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
+    r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
+
+    w_hi, w_lo = dd_mul(e_hi, e_lo, r_hi, r_lo)  # N_k W_nk, dd
+    th, tl = _dd_tree_sum(w_hi, w_lo, axis=1)  # (K, 1)
+
+    @pl.when(i == 0)
+    def _():
+        sh_ref[:, :] = jnp.zeros_like(th)
+        sl_ref[:, :] = jnp.zeros_like(tl)
+
+    nh, nl = dd_add(sh_ref[:, :], sl_ref[:, :], th, tl)
+    sh_ref[:, :] = nh
+    sl_ref[:, :] = nl
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def wsum_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=True):
+    """S_k = sum_n N_k W_nk in double-word precision, one pass over u.
+
+    u_hi/u_lo: (K, N) dd planes of the (preconditioned) reduced potentials;
+    g_hi/g_lo: (K,) dd planes of f_k + ln N_k.  Returns (S_hi, S_lo): (K,)
+    f32 pairs with S_k in [0, N] and ~1e-13 relative accuracy.
+
+    This is THE polish-phase kernel: gradient g_k = S_k - N_k exactly
+    (Eq. C6 with exp(f+lognum) = S/N substituted), self-consistent update
+    f_sci = f_k + ln N_k - ln S_k (Eq. C3), weight column sums S_k / N_k.
+    Per-device partial S_k sums merge exactly with dd adds across
+    sample-sharded meshes (the multi-chip form needs no extra plumbing).
+    """
+    K, N = u_hi.shape
+    K_pad = 1 << (K - 1).bit_length()
+    if K_pad > _WSUM_MAX_K:
+        # Too many states for one VMEM-resident tile: two-pass k-blocked
+        # route (same dd math, one extra read of the planes).  The shift
+        # must be global over k, so one cheap f32 max pass precedes.
+        m_n = jnp.max(g_hi[:, None] - u_hi, axis=0)
+        dh, dl = denom_sums_dd(
+            u_hi, u_lo, g_hi, g_lo, m_n, tile_n=tile_n, interpret=interpret,
+            fast=fast,
+        )
+        # Sentinel pad columns: m ~ max(g) - PAD << 0 while preconditioned
+        # real columns sit at O(+-100); zero them so the weight pass masks.
+        pad_col = m_n < jnp.float32(-1.0e8)
+        dh = jnp.where(pad_col, jnp.float32(0.0), dh)
+        dl = jnp.where(pad_col, jnp.float32(0.0), dl)
+        return wsum_denom_dd(
+            u_hi, u_lo, g_hi, g_lo, m_n, dh, dl, tile_n=tile_n,
+            interpret=interpret, fast=fast,
+        )
+    if tile_n is None:
+        tile_n = _pick_tile_wsum(K_pad)
+    n_pad = (-N) % tile_n
+    if K_pad != K or n_pad:
+        # Padded state rows take u=+PAD, g=-PAD: their T1 underflows to
+        # exp(clamp) ~ 1e-37, a negligible perturbation of s_n, and their
+        # S rows are sliced off.  Padded sample columns are masked in-kernel.
+        u_hi = jnp.pad(u_hi, ((0, K_pad - K), (0, n_pad)), constant_values=_PAD_U)
+        u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
+        g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
+        g_lo = jnp.pad(g_lo, (0, K_pad - K))
+    Np = N + n_pad
+    grid = (Np // tile_n,)
+
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
+            functools.partial(_wsum_kernel, fast=fast),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            u_hi,
+            u_lo,
+            g_hi.reshape(K_pad, 1),
+            g_lo.reshape(K_pad, 1),
+        )
+
+    return s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K]
+
+
+@jax.jit
+def wsum_dd_ref(u_hi, u_lo, g_hi, g_lo):
+    """Pure-jnp reference of ``wsum_dd`` (true-f64 inner math, off-TPU).
+
+    S_k = sum_n exp(g_k - u_kn - logden_n) with logden from the dd planes;
+    sentinel pad columns contribute exactly zero, matching the kernel mask.
+    """
+    u64 = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+    g64 = (g_hi.astype(jnp.float64) + g_lo.astype(jnp.float64))[:, None]
+    a = g64 - u64
+    m = jnp.max(a, axis=0, keepdims=True)
+    s = jnp.sum(jnp.exp(a - m), axis=0, keepdims=True)
+    w = jnp.exp(a - m) / s
+    pad_col = u_hi[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    w = jnp.where(pad_col, 0.0, w)
+    S64 = jnp.sum(w, axis=1)
+    sh = S64.astype(jnp.float32)
+    sl = (S64 - sh.astype(jnp.float64)).astype(jnp.float32)
+    return sh, sl
+
+
+# -----------------------------------------------------------------------------
+# K-sharded (2-D mesh) building blocks: the wsum factorization split at the
+# cross-k-block boundary.  Each k-block device computes (a) its partial
+# denominator sums with a GLOBAL per-column shift m_n (pmax over 'k'),
+# which combine exactly across blocks with dd adds, then (b) its local
+# T1/s weight sums given the combined denominator.  m_n cancels exactly in
+# T1/s, so the only cross-block agreement needed is the shift itself.
+# -----------------------------------------------------------------------------
+
+
+def _denom_sums_kernel(uh_ref, ul_ref, gh_ref, gl_ref, m_ref, oh_ref, ol_ref, *, fast):
+    """One (K_blk, TILE_N) tile: s_n += sum_k exp((g - u) - m_n) with the
+    stabilizing shift m_n supplied; k-blocks (grid dim 0) accumulate into
+    the same per-column output with exact dd adds."""
+    b = pl.program_id(0)
+    uh = uh_ref[:, :]
+    ul = ul_ref[:, :]
+    gh = gh_ref[:, :]  # (K_blk, 1)
+    gl = gl_ref[:, :]
+    m = m_ref[:, :]  # (1, T)
+
+    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m, fast=fast)
+    s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)  # (1, T)
+
+    @pl.when(b == 0)
+    def _():
+        oh_ref[:, :] = s_hi
+        ol_ref[:, :] = s_lo
+
+    @pl.when(b != 0)
+    def _():
+        nh, nl = dd_add(oh_ref[:, :], ol_ref[:, :], s_hi, s_lo)
+        oh_ref[:, :] = nh
+        ol_ref[:, :] = nl
+
+
+def _k_blocking(K):
+    """(K_padded, K_block, num_blocks, tile_n) for a state extent K.
+
+    One pow2 block when it fits VMEM (1-D grid, K*tile <= 2^19 measured);
+    otherwise 1024-row blocks on a 2-D (block, tile) grid — where Mosaic's
+    pipelining doubles the buffering twice over, so the per-block budget
+    drops to K_blk*tile <= 2^17 (measured on v5e: 1024x256 is 18M vs the
+    16M limit, 1024x128 compiles)."""
+    K_pad = 1 << (K - 1).bit_length()
+    if K_pad <= _WSUM_MAX_K:
+        return K_pad, K_pad, 1, _pick_tile_wsum(K_pad)
+    K_blk = 1024
+    return K_pad, K_blk, K_pad // K_blk, 128
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def denom_sums_dd(u_hi, u_lo, g_hi, g_lo, m_n, tile_n=_TILE_N, interpret=False, fast=True):
+    """Per-column denominator sums s_n = sum_k exp((g_k - u_kn) - m_n).
+
+    Returns (s_hi, s_lo): (N,) f32 pairs.  m_n must be the GLOBAL shift
+    (max over ALL k-blocks/devices of g - u) so partials from different
+    k-blocks share a scale and combine with dd adds.  K beyond the
+    single-tile VMEM limit blocks internally over grid dim 0.
+    """
+    K, N = u_hi.shape
+    K_pad, K_blk, k_blocks, auto_tile = _k_blocking(K)
+    if tile_n is None:
+        tile_n = auto_tile
+    n_pad = (-N) % tile_n
+    if K_pad != K or n_pad:
+        u_hi = jnp.pad(u_hi, ((0, K_pad - K), (0, n_pad)), constant_values=_PAD_U)
+        u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
+        g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
+        g_lo = jnp.pad(g_lo, (0, K_pad - K))
+        m_n = jnp.pad(m_n, (0, n_pad))
+    Np = N + n_pad
+    grid = (k_blocks, Np // tile_n)
+
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
+            functools.partial(_denom_sums_kernel, fast=fast),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Np), jnp.float32),
+                jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            u_hi,
+            u_lo,
+            g_hi.reshape(K_pad, 1),
+            g_lo.reshape(K_pad, 1),
+            m_n.reshape(1, Np),
+        )
+    return s_hi.reshape(-1)[:N], s_lo.reshape(-1)[:N]
+
+
+@jax.jit
+def denom_sums_dd_ref(u_hi, u_lo, g_hi, g_lo, m_n):
+    """Pure-jnp reference of ``denom_sums_dd`` (true-f64 inner sum)."""
+    u64 = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+    g64 = (g_hi.astype(jnp.float64) + g_lo.astype(jnp.float64))[:, None]
+    s64 = jnp.sum(jnp.exp(g64 - u64 - m_n.astype(jnp.float64)[None, :]), axis=0)
+    sh = s64.astype(jnp.float32)
+    sl = (s64 - sh.astype(jnp.float64)).astype(jnp.float32)
+    return sh, sl
+
+
+def _wsum_denom_kernel(
+    uh_ref, ul_ref, gh_ref, gl_ref, m_ref, dh_ref, dl_ref, sh_ref, sl_ref, *, fast
+):
+    """One (K_blk, TILE_N) tile: S_k += sum_n T1 / s_n with s_n supplied."""
+    i = pl.program_id(1)
+    uh = uh_ref[:, :]
+    ul = ul_ref[:, :]
+    gh = gh_ref[:, :]
+    gl = gl_ref[:, :]
+    m = m_ref[:, :]  # (1, T)
+    dh = dh_ref[:, :]  # (1, T) combined denominator sums
+    dl = dl_ref[:, :]
+
+    e_hi, e_lo = _exp_terms(uh, ul, gh, gl, m, fast=fast)
+    r_hi, r_lo = dd_recip(dh, dl)
+    # Pad columns carry s = 0 exactly (the orchestrator zeroes them after
+    # the cross-block combine); mask their reciprocal.
+    pad_col = dh <= jnp.float32(0.0)
+    r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
+    r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
+
+    w_hi, w_lo = dd_mul(e_hi, e_lo, r_hi, r_lo)
+    th, tl = _dd_tree_sum(w_hi, w_lo, axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        sh_ref[:, :] = jnp.zeros_like(th)
+        sl_ref[:, :] = jnp.zeros_like(tl)
+
+    nh, nl = dd_add(sh_ref[:, :], sl_ref[:, :], th, tl)
+    sh_ref[:, :] = nh
+    sl_ref[:, :] = nl
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
+def wsum_denom_dd(
+    u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo, tile_n=_TILE_N, interpret=False, fast=True
+):
+    """S_k = sum_n exp((g_k - u_kn) - m_n) / s_n for this device's k-block,
+    with the cross-block-combined denominator sums (d_hi, d_lo) supplied.
+
+    The shift m_n cancels exactly in T1/s, so S_k = sum_n N_k W_nk as in
+    :func:`wsum_dd`; this split form serves K-sharded (2-D mesh) solves
+    where no single device holds all states, and the k-blocked large-K
+    single-device route.  Returns (S_hi, S_lo): (K,).
+    """
+    K, N = u_hi.shape
+    K_pad, K_blk, k_blocks, auto_tile = _k_blocking(K)
+    if tile_n is None:
+        tile_n = auto_tile
+    n_pad = (-N) % tile_n
+    if K_pad != K or n_pad:
+        u_hi = jnp.pad(u_hi, ((0, K_pad - K), (0, n_pad)), constant_values=_PAD_U)
+        u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
+        g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
+        g_lo = jnp.pad(g_lo, (0, K_pad - K))
+        m_n = jnp.pad(m_n, (0, n_pad))
+        d_hi = jnp.pad(d_hi, (0, n_pad))  # pad columns: s = 0 -> masked
+        d_lo = jnp.pad(d_lo, (0, n_pad))
+    Np = N + n_pad
+    grid = (k_blocks, Np // tile_n)
+
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
+            functools.partial(_wsum_denom_kernel, fast=fast),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            u_hi,
+            u_lo,
+            g_hi.reshape(K_pad, 1),
+            g_lo.reshape(K_pad, 1),
+            m_n.reshape(1, Np),
+            d_hi.reshape(1, Np),
+            d_lo.reshape(1, Np),
+        )
+    return s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K]
+
+
+@jax.jit
+def wsum_denom_dd_ref(u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo):
+    """Pure-jnp reference of ``wsum_denom_dd`` (true-f64 inner math)."""
+    u64 = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+    g64 = (g_hi.astype(jnp.float64) + g_lo.astype(jnp.float64))[:, None]
+    d64 = d_hi.astype(jnp.float64) + d_lo.astype(jnp.float64)
+    t = jnp.exp(g64 - u64 - m_n.astype(jnp.float64)[None, :])
+    w = jnp.where(d64[None, :] > 0.0, t / jnp.where(d64 == 0.0, 1.0, d64)[None, :], 0.0)
+    S64 = jnp.sum(w, axis=1)
+    sh = S64.astype(jnp.float32)
+    sl = (S64 - sh.astype(jnp.float64)).astype(jnp.float32)
+    return sh, sl
 
 
 def _lognum_sums_ref(u_hi, u_lo, ld_hi, ld_lo, m_k):

@@ -28,7 +28,11 @@ __all__ = [
     "sharded_solve_mbar",
     "shard_dd_planes",
     "sharded_fused_lognum_dd",
+    "sharded_wsum_dd",
     "sharded_solve_mbar_dd",
+    "shard_dd_planes_2d",
+    "sharded2d_wsum_dd",
+    "sharded2d_solve_mbar_dd",
     "sharded_solve_mbar_for_all_states",
 ]
 
@@ -543,6 +547,39 @@ def sharded_fused_lognum_dd(u_hi_s, u_lo_s, g_hi, g_lo, m_k, mesh, axis_name="n"
     return t_hi, ll + t_e
 
 
+def sharded_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, axis_name="n", fast=True):
+    """S_k = sum_n N_k W_nk over an n-sharded dd matrix.
+
+    Each device runs the one-exp-per-element wsum kernel on its local slab
+    (Pallas on TPU, the jnp reference elsewhere); the per-device (K,) dd
+    partial sums merge with exact dd adds.  Pad columns are masked inside
+    the kernels.  Communication: one K-sized all-gather per call.
+    """
+    from pymbar_tpu.config import on_tpu
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd, wsum_dd_ref
+
+    if on_tpu():
+        local = lambda uh, ul: wsum_dd(uh, ul, g_hi, g_lo, fast=fast)
+    else:
+        local = lambda uh, ul: wsum_dd_ref(uh, ul, g_hi, g_lo)
+
+    def body(uh, ul):
+        sh, sl = local(uh, ul)
+        return sh[None, :], sl[None, :]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name)),
+        out_specs=(P(axis_name, None), P(axis_name, None)),
+        # pallas_call's ShapeDtypeStruct out_shape carries no vma metadata;
+        # the varying-axis checker rejects it (jnp ref path is unaffected)
+        check_vma=False,
+    )
+    sh, sl = fn(u_hi_s, u_lo_s)  # (D, K) stacked partials
+    return _dd_combine_partials(sh, sl)
+
+
 def sharded_solve_mbar_dd(
     u_hi,
     u_lo,
@@ -568,11 +605,10 @@ def sharded_solve_mbar_dd(
     """
     import time
 
-    from pymbar_tpu.ops.doubledouble import dd_from_f64
+    from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
     from pymbar_tpu.solvers_large import (
-        _m_k_pass,
         _newton_factor,
-        _newton_step,
+        _newton_step_g,
     )
 
     if mesh is None:
@@ -608,57 +644,46 @@ def sharded_solve_mbar_dd(
     f64 = f64 - f64[0]
     t_phase1 = time.time() - t_phase1
 
-    # ---- polish prologue at the f32 endpoint: frozen shift + chord factor
+    # ---- polish prologue: chord factor from the sharded Gram
     t_phase2 = time.time()
-    f32_end = f64.astype(jnp.float32)
 
-    def _local_mk(uh):
-        from pymbar_tpu.ops.mbar_core import _logden_direct
+    def _sharded_gram_at(f32_val):
+        def _local_gram(uh, fv):
+            from pymbar_tpu.ops.mbar_core import _logden_direct
 
-        ld = _logden_direct(uh, N_k32, f32_end)
-        b = -ld[None, :] - uh
-        # sentinel pad columns must not enter the shift max
-        b = jnp.where(_is_pad_col(uh)[None, :], jnp.float32(-1.0e30), b)
-        return jnp.max(b, axis=1)[None, :]
+            ld = _logden_direct(uh, N_k32, fv)
+            pad = _is_pad_col(uh)
+            ld = jnp.where(pad, jnp.float32(0.0), ld)
+            w = jnp.exp(fv[:, None] - uh - ld[None, :])
+            w = jnp.where(pad[None, :], jnp.float32(0.0), w)
+            # chunked f32 matmuls, f64 chunk accumulation (a fori-loop carry
+            # does not compose with shard_map's varying axes, so chunk by
+            # reshape)
+            K_l, N_l = w.shape
+            C = 8
+            n_pad = (-N_l) % C
+            if n_pad:
+                w = jnp.pad(w, ((0, 0), (0, n_pad)))
+            wc = w.reshape(K_l, C, -1)
+            g = jnp.einsum(
+                "kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32
+            )
+            gram = jnp.sum(g.astype(jnp.float64), axis=0)
+            colsum = jnp.sum(w.astype(jnp.float64), axis=1)
+            return gram[None], colsum[None]
 
-    mk_parts = jax.shard_map(
-        _local_mk, mesh=mesh, in_specs=(P(None, axis_name),),
-        out_specs=P(axis_name, None),
-    )(u_hi_s)
-    m_k = jnp.max(mk_parts, axis=0)
+        g_parts, c_parts = jax.shard_map(
+            _local_gram, mesh=mesh, in_specs=(P(None, axis_name), P()),
+            out_specs=(P(axis_name, None, None), P(axis_name, None)),
+        )(u_hi_s, _replicated(f32_val, mesh))
+        return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
 
-    def _local_gram(uh):
-        from pymbar_tpu.ops.mbar_core import _logden_direct
-
-        ld = _logden_direct(uh, N_k32, f32_end)
-        pad = _is_pad_col(uh)
-        ld = jnp.where(pad, jnp.float32(0.0), ld)
-        w = jnp.exp(f32_end[:, None] - uh - ld[None, :])
-        w = jnp.where(pad[None, :], jnp.float32(0.0), w)
-        # chunked f32 matmuls, f64 chunk accumulation (a fori-loop carry does
-        # not compose with shard_map's varying axes, so chunk by reshape)
-        K_l, N_l = w.shape
-        C = 8
-        n_pad = (-N_l) % C
-        if n_pad:
-            w = jnp.pad(w, ((0, 0), (0, n_pad)))
-        wc = w.reshape(K_l, C, -1)
-        g = jnp.einsum(
-            "kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32
-        )
-        gram = jnp.sum(g.astype(jnp.float64), axis=0)
-        colsum = jnp.sum(w.astype(jnp.float64), axis=1)
-        return gram[None], colsum[None]
-
-    g_parts, c_parts = jax.shard_map(
-        _local_gram, mesh=mesh, in_specs=(P(None, axis_name),),
-        out_specs=(P(axis_name, None, None), P(axis_name, None)),
-    )(u_hi_s)
-    gram = jnp.sum(g_parts, axis=0)
-    colsum = jnp.sum(c_parts, axis=0)
+    gram, colsum = _sharded_gram_at(f64.astype(jnp.float32))
     cho = _newton_factor(gram, colsum, N_k64)
 
-    # ---- polish: fused dd pass per device per iteration
+    # ---- polish: one wsum pass per device per iteration (see
+    # solvers_large.solve_mbar_dd — same structure, stopping rules and
+    # factor refresh; the per-device dd partial S_k sums merge exactly).
     logN = jnp.log(N_k64)
     gamma64 = jnp.asarray(gamma, jnp.float64)
     deltas = []
@@ -669,11 +694,11 @@ def sharded_solve_mbar_dd(
     it = 0
     for it in range(1, polish_maxiter + 1):
         gh, gl = dd_from_f64(f64 + logN)
-        lnh, lnl = sharded_fused_lognum_dd(
-            u_hi_s, u_lo_s, gh, gl, m_k, mesh, axis_name, fast=fast_exp
+        Sh, Sl = sharded_wsum_dd(
+            u_hi_s, u_lo_s, gh, gl, mesh, axis_name, fast=fast_exp
         )
-        lognum64 = lnh.astype(jnp.float64) + lnl.astype(jnp.float64)
-        f_new, g64 = _newton_step(f64, lognum64, cho, N_k64, gamma64)
+        g64 = dd_to_f64(Sh, Sl) - N_k64
+        f_new = _newton_step_g(f64, g64, cho, gamma64)
 
         f_new_np = np.asarray(f_new)
         f_old_np = np.asarray(f64)
@@ -684,12 +709,12 @@ def sharded_solve_mbar_dd(
         if max_delta < tol:
             converged = True
             break
-        stalled = it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta
-        tiny = max_delta < 1.0e-9
+        stalled = it >= 2 and max_delta < 1.0e-9 and max_delta > 0.3 * prev_delta
+        tiny = max_delta < 3.0e-13
         predicted_next = (
             max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
         )
-        if stalled or tiny or predicted_next < 1.0e-9:
+        if stalled or tiny or predicted_next < 1.0e-13:
             converged = True
             at_noise_floor = True
             break
@@ -705,6 +730,254 @@ def sharded_solve_mbar_dd(
         gnorm=gnorm,
         phase1_s=t_phase1,
         phase2_s=time.time() - t_phase2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Double-word 2-D (K x N) mesh: the dd precision path for the K >= 4096
+# stress layout (BASELINE.md stress config; VERDICT r1 item 6).  The wsum
+# factorization splits at the k-block boundary: each device computes its
+# partial denominator sums under a pmax-shared shift (they combine exactly
+# with dd adds — the only cross-block collective that must preserve dd
+# precision is an all_gather of (D_k, N_local) f32 pairs), then its local
+# T1/s weight sums, whose (D_n, K_local) partials combine the same way.
+# ---------------------------------------------------------------------------
+
+
+def shard_dd_planes_2d(u_hi, u_lo, N_k, f_k, mesh):
+    """Place dd planes on a 2-D (k, n) mesh with finite sentinel padding.
+
+    Pad state rows get u = +PAD and N_k = 0; pad sample columns get
+    u = +PAD (the dd kernels mask them).  Returns
+    (u_hi_s, u_lo_s, N_k_padded, f_k_padded, (k_pad, n_pad)).
+    """
+    from pymbar_tpu.ops.pallas_kernels import _PAD_U
+
+    u_hi = np.asarray(u_hi, dtype=np.float32)
+    u_lo = np.asarray(u_lo, dtype=np.float32)
+    K, N = u_hi.shape
+    kd, nd = mesh.devices.shape
+    k_pad = (-K) % kd
+    n_pad = (-N) % nd
+    if k_pad or n_pad:
+        u_hi = np.pad(u_hi, ((0, k_pad), (0, n_pad)), constant_values=np.float32(_PAD_U))
+        u_lo = np.pad(u_lo, ((0, k_pad), (0, n_pad)))
+    N_k = np.pad(np.asarray(N_k, dtype=np.float64), (0, k_pad))
+    f_k = np.pad(np.asarray(f_k, dtype=np.float64), (0, k_pad))
+    sharding = NamedSharding(mesh, P("k", "n"))
+    return (
+        jax.device_put(u_hi, sharding),
+        jax.device_put(u_lo, sharding),
+        N_k,
+        f_k,
+        (k_pad, n_pad),
+    )
+
+
+def sharded2d_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, fast=True):
+    """S_k = sum_n N_k W_nk on a 2-D (k, n) mesh in dd precision.
+
+    Two kernel passes per device: partial denominator sums under the
+    pmax-global shift, an exact dd combine across k-blocks (all_gather of
+    the (1, N_local) partials — the one N-sized collective the math
+    requires), then the local weight sums, combined across n-shards the
+    same way.  g_hi/g_lo are the full (K_padded,) dd planes of f + ln N
+    (pad states carry the -PAD sentinel).  Returns (S_hi, S_lo) (K_padded,)
+    f32 pairs, replicated.
+    """
+    from pymbar_tpu.config import on_tpu
+    from pymbar_tpu.ops.doubledouble import dd_add
+    from pymbar_tpu.ops.pallas_kernels import (
+        denom_sums_dd,
+        denom_sums_dd_ref,
+        wsum_denom_dd,
+        wsum_denom_dd_ref,
+    )
+
+    if on_tpu():
+        _denom = lambda uh, ul, gh, gl, m: denom_sums_dd(uh, ul, gh, gl, m, fast=fast)
+        _wsum = lambda uh, ul, gh, gl, m, dh, dl: wsum_denom_dd(
+            uh, ul, gh, gl, m, dh, dl, fast=fast
+        )
+    else:
+        _denom = denom_sums_dd_ref
+        _wsum = wsum_denom_dd_ref
+
+    kd, nd = mesh.devices.shape
+
+    def local(uh, ul, gh_loc, gl_loc):
+        # Global per-column shift: local f32 max, pmax over the k blocks.
+        m = jax.lax.pmax(jnp.max(gh_loc[:, None] - uh, axis=0), "k")  # (N_loc,)
+
+        sh, sl = _denom(uh, ul, gh_loc, gl_loc, m)  # (N_loc,) partials
+        SH = jax.lax.all_gather(sh, "k")  # (kd, N_loc)
+        SL = jax.lax.all_gather(sl, "k")
+        dh, dl = SH[0], SL[0]
+        for d in range(1, kd):
+            dh, dl = dd_add(dh, dl, SH[d], SL[d])
+        # Pad columns: u = +PAD in every row of every block, so the shift is
+        # m = max_k(g) - PAD ~ -1e10 while real (preconditioned) columns sit
+        # at O(+-100).  Zero their denominator; the wsum kernel masks s <= 0.
+        pad_col = m < jnp.float32(-1.0e8)
+        dh = jnp.where(pad_col, jnp.float32(0.0), dh)
+        dl = jnp.where(pad_col, jnp.float32(0.0), dl)
+
+        th, tl = _wsum(uh, ul, gh_loc, gl_loc, m, dh, dl)  # (K_loc,)
+        TH = jax.lax.all_gather(th, "n")  # (nd, K_loc)
+        TL = jax.lax.all_gather(tl, "n")
+        Sh, Sl = TH[0], TL[0]
+        for d in range(1, nd):
+            Sh, Sl = dd_add(Sh, Sl, TH[d], TL[d])
+        return Sh, Sl
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("k", "n"), P("k", "n"), P("k"), P("k")),
+        out_specs=(P("k"), P("k")),
+        check_vma=False,
+    )
+    g_hi_s = jax.device_put(jnp.asarray(g_hi), NamedSharding(mesh, P("k")))
+    g_lo_s = jax.device_put(jnp.asarray(g_lo), NamedSharding(mesh, P("k")))
+    Sh, Sl = fn(u_hi_s, u_lo_s, g_hi_s, g_lo_s)
+    return jnp.asarray(jax.device_get(Sh)), jnp.asarray(jax.device_get(Sl))
+
+
+def sharded2d_solve_mbar_dd(
+    u_hi,
+    u_lo,
+    N_k,
+    f_k=None,
+    mesh=None,
+    tol=1.0e-12,
+    f32_tol=1.0e-4,
+    f32_maxiter=200,
+    polish_maxiter=60,
+    m_history=5,
+    fast_exp=True,
+):
+    """Double-word MBAR solve on a 2-D (k, n) mesh: the K >= 4096 stress
+    path with the same ~1e-12 story as the 1-D dd solve.
+
+    Hessian-free by design (a cross-k-block Gram would need ring
+    collectives of W slabs): phase 1 runs Anderson-accelerated f32 SC on
+    the hi plane (sharded2d_core_stats), phase 2 runs Anderson on the dd
+    SC map f -> f + ln N - ln S with S from :func:`sharded2d_wsum_dd`
+    (evaluation noise ~2e-13, so the fixed point is resolved to the same
+    floor as the 1-D path).  Caller supplies preconditioned (hi, lo)
+    planes; all states must have samples.  Returns (f_k float64, info).
+    """
+    import time
+
+    if mesh is None:
+        raise ValueError("sharded2d_solve_mbar_dd requires an explicit 2-D mesh")
+
+    from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
+
+    K = np.asarray(u_hi).shape[0]
+    f0 = np.zeros(K) if f_k is None else np.asarray(f_k, dtype=np.float64)
+    f0 = f0 - f0[0]
+
+    u_hi_s, u_lo_s, N_pad, f_pad, (k_pad, n_pad) = shard_dd_planes_2d(
+        u_hi, u_lo, N_k, f0, mesh
+    )
+    Kp = len(N_pad)
+    N_pad32 = N_pad.astype(np.float32)
+
+    def _anderson(sc, f, maxiter, tol_stop, floor_stop):
+        hist_x, hist_r = [], []
+        it = 0
+        max_delta = np.inf
+        prev_delta = np.inf
+        converged = False
+        at_floor = False
+        for it in range(1, maxiter + 1):
+            gx = sc(f)
+            gx[K:] = 0.0  # pad states
+            r = gx - f
+            hist_x.append(gx)
+            hist_r.append(r)
+            if len(hist_x) > m_history:
+                hist_x.pop(0)
+                hist_r.pop(0)
+            if len(hist_r) > 1:
+                R = np.stack(hist_r, axis=1)
+                dR = R[:, :-1] - R[:, -1:]
+                try:
+                    gamma_c, *_ = np.linalg.lstsq(dR, R[:, -1], rcond=None)
+                    alpha = np.concatenate([-gamma_c, [1.0 + np.sum(gamma_c)]])
+                    f_new = np.stack(hist_x, axis=1) @ alpha
+                except np.linalg.LinAlgError:
+                    f_new = gx
+            else:
+                f_new = gx
+            f_new = f_new - f_new[0]
+            f_new[K:] = 0.0
+            div = np.maximum(np.abs(f_new[1:K]), 1.0)
+            max_delta = float(np.max(np.abs(f_new[1:K] - f[1:K]) / div))
+            f = f_new
+            if max_delta < tol_stop:
+                converged = True
+                break
+            if floor_stop is not None:
+                predicted = (
+                    max_delta * max_delta / prev_delta
+                    if np.isfinite(prev_delta)
+                    else np.inf
+                )
+                if max_delta < floor_stop or predicted < floor_stop:
+                    converged = True
+                    at_floor = True
+                    break
+            prev_delta = max_delta
+        return f, it, max_delta, converged, at_floor
+
+    # ---- phase 1: f32 Anderson SC on the hi plane.
+    t_phase1 = time.time()
+
+    def sc32(fv):
+        _, _, f_sci = sharded2d_core_stats(
+            u_hi_s, N_pad32, fv.astype(np.float32), mesh
+        )
+        f_sci = np.asarray(f_sci, dtype=np.float64)
+        return f_sci - f_sci[0]
+
+    f, it32, _, _, _ = _anderson(sc32, f_pad.copy(), f32_maxiter, f32_tol, None)
+    t_phase1 = time.time() - t_phase1
+
+    # ---- phase 2: dd Anderson on the wsum SC map.
+    t_phase2 = time.time()
+    logN = np.where(N_pad > 0, np.log(np.where(N_pad > 0, N_pad, 1.0)), 0.0)
+
+    def sc_dd(fv):
+        gh, gl = dd_from_f64(jnp.asarray(fv + logN))
+        Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
+        S64 = np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f_sci = fv + logN - np.log(np.where(S64 > 0, S64, 1.0))
+        f_sci[N_pad == 0] = 0.0
+        return f_sci - f_sci[0]
+
+    f, itdd, max_delta, converged, at_floor = _anderson(
+        sc_dd, f, polish_maxiter, tol, 3.0e-13
+    )
+    t_phase2 = time.time() - t_phase2
+
+    # gradient certificate from one more wsum pass
+    gh, gl = dd_from_f64(jnp.asarray(f + logN))
+    Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
+    g = np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64) - N_pad
+    g = g[:K]
+
+    return f[:K], dict(
+        converged=converged,
+        at_noise_floor=at_floor,
+        f32_iterations=int(it32),
+        polish_iterations=int(itdd),
+        max_delta=max_delta,
+        gnorm=float(np.linalg.norm(g)),
+        phase1_s=t_phase1,
+        phase2_s=t_phase2,
     )
 
 

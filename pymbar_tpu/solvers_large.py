@@ -41,6 +41,8 @@ from pymbar_tpu.ops.pallas_kernels import (
     lognum_dd_ref,
     lognum_fused_dd,
     lognum_fused_dd_ref,
+    wsum_dd,
+    wsum_dd_ref,
 )
 from pymbar_tpu.solvers import _adaptive_while
 
@@ -125,6 +127,15 @@ def _newton_step(f, lognum64, cho, N_k64, gamma):
     f_new = f - gamma * dx
     f_new = f_new - f_new[0]
     return f_new, g
+
+
+def _newton_step_g(f, g, cho, gamma):
+    """One f64 K-vector chord-Newton step from the exact gradient
+    g_k = S_k - N_k (the wsum form — no log/exp roundtrip)."""
+    dx1 = jax.scipy.linalg.cho_solve((cho[0], cho[1]), g[1:])
+    dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
+    f_new = f - gamma * dx
+    return f_new - f_new[0]
 
 
 
@@ -252,7 +263,14 @@ def solve_mbar_dd(
     t_phase1 = time.time() - t_phase1
     t_phase2 = time.time()
 
-    # ---- phase 2: double-word Newton polish
+    # ---- phase 2: double-word Newton polish on the wsum kernel.
+    # One fused pass per iteration produces S_k = sum_n N_k W_nk in dd; the
+    # gradient is g_k = S_k - N_k exactly (no log/exp roundtrip) and the
+    # chord-Newton step uses the frozen Cholesky factor of the f32-Gram
+    # Hessian.  The frozen factor contracts ~1e-2 per iteration all the way
+    # to the ~1e-12 delta floor (measured; refreshing it mid-polish does not
+    # improve the rate — the f32 Gram's accuracy is the limit — so no
+    # refresh pass is spent).
     logN = jnp.log(N_k64)
     gamma64 = jnp.asarray(gamma, jnp.float64)
     it = 0
@@ -262,40 +280,20 @@ def solve_mbar_dd(
     at_noise_floor = False
     g64 = None
     deltas = []
-    # Pallas kernels on TPU; the pure-jnp dd reference elsewhere (same math).
-    if on_tpu():
-        _logden = functools.partial(logden_dd, fast=fast_exp)
-        _lognum = functools.partial(lognum_dd, fast=fast_exp)
-        _fused = functools.partial(lognum_fused_dd, fast=fast_exp)
-    else:
-        _logden, _lognum = logden_dd_ref, lognum_dd_ref
-        _fused = lognum_fused_dd_ref
+    _wsum = functools.partial(wsum_dd, fast=fast_exp) if on_tpu() else wsum_dd_ref
 
-    m_k = None
     cho = None
     for it in range(1, polish_maxiter + 1):
         gh, gl = dd_from_f64(f64 + logN)
-        if m_k is None:
-            # First iteration: separate passes, which also establish the
-            # frozen stabilizing shift m_k (it only needs to be a
-            # representable nearby value; logden moves by <= ~1e-4 across
-            # polish iterations).
-            ldh, ldl = _logden(u_hi, u_lo, gh, gl)
-            m_k = _m_k_pass(u_hi, ldh)
-            lnh, lnl = _lognum(u_hi, u_lo, ldh, ldl, m_k)
-        else:
-            # Later iterations: one fused pass (logden recomputed in-tile
-            # from the CURRENT f, lognum accumulated while the tile is
-            # resident) — the u planes stream from HBM once, not twice.
-            lnh, lnl = _fused(u_hi, u_lo, gh, gl, m_k)
-        lognum64 = dd_to_f64(lnh, lnl)
+        Sh, Sl = _wsum(u_hi, u_lo, gh, gl)
+        g64 = dd_to_f64(Sh, Sl) - N_k64
 
         if cho is None:
             gram, colsum = gram_f32_acc64(
                 u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
             )
             cho = _newton_factor(gram, colsum, N_k64)
-        f_new, g64 = _newton_step(f64, lognum64, cho, N_k64, gamma64)
+        f_new = _newton_step_g(f64, g64, cho, gamma64)
 
         f_new_np = np.asarray(f_new)
         f_old_np = np.asarray(f64)
@@ -307,24 +305,19 @@ def solve_mbar_dd(
         if max_delta < tol:
             converged = True
             break
-        # The dd kernels' evaluation noise (~1e-11 in lognum, amplified by
-        # N_k in the gradient) makes the per-iteration deltas noise-dominated
-        # long before they reach tol; once Newton stops contracting below
-        # 3e-6 the iterate is as converged as the arithmetic allows (the
-        # bench cross-check measures ~3e-11 delta_f agreement with the
-        # full-f64 solve at this stopping rule).
-        stalled = it >= 2 and max_delta < 3.0e-6 and max_delta > 0.3 * prev_delta
-        # A step below 1e-9 leaves a remaining error another ~2 orders down
-        # (contraction is ~1e-2/iter): already far past any reachable tol.
-        tiny = max_delta < 1.0e-9
+        # The dd kernel's ~1e-13 relative noise in S_k bounds the reachable
+        # per-iteration delta at ~1e-13 (df ~ H^-1 g_noise ~ g_noise / N_k);
+        # once Newton stops contracting near that floor the iterate is as
+        # converged as the arithmetic allows (docs/numerics.md derivation).
+        stalled = it >= 2 and max_delta < 1.0e-9 and max_delta > 0.3 * prev_delta
+        tiny = max_delta < 3.0e-13
         # Predictive stop: with steady contraction r = delta/prev, the next
-        # step would be ~ delta * r; when that extrapolates below 1e-9 the
-        # iterate is already within ~1e-10 of the fixed point and the next
-        # kernel pass would only confirm it.
+        # step would be ~ delta * r; below the noise floor the next kernel
+        # pass would only confirm convergence.
         predicted_next = (
             max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
         )
-        if stalled or tiny or predicted_next < 1.0e-9:
+        if stalled or tiny or predicted_next < 1.0e-13:
             converged = True
             at_noise_floor = True
             break

@@ -220,6 +220,90 @@ def test_mbar_class_mesh_with_protocol_warns(problem, caplog):
     assert any("mesh is ignored" in r.message for r in caplog.records)
 
 
+def test_sharded2d_wsum_dd_matches_single_device(problem):
+    """2-D-mesh dd weight sums == single-device wsum reference exactly
+    (pads on both axes exercised)."""
+    from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd_ref
+    from pymbar_tpu.parallel.sharding import (
+        mesh_2d,
+        shard_dd_planes_2d,
+        sharded2d_wsum_dd,
+    )
+
+    u_kn, N_k, f_k, _ = problem
+    # 4 states over kd=2 (no k pad) and 2599 samples over nd=4 (pads)
+    u_odd = u_kn[:, :-1] - u_kn[:, :-1].min(axis=0, keepdims=True)
+    N_odd = N_k.copy()
+    N_odd[-1] -= 1
+    uh, ul = dd_from_f64(jnp.asarray(u_odd))
+    gh, gl = dd_from_f64(jnp.asarray(f_k + np.log(N_odd)))
+
+    S_ref = np.asarray(dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl)))
+
+    mesh = mesh_2d(2, 4)
+    uh_s, ul_s, N_pad, f_pad, pads = shard_dd_planes_2d(uh, ul, N_odd, f_k, mesh)
+    gh_p = jnp.pad(gh, (0, len(N_pad) - len(N_odd)))
+    gl_p = jnp.pad(gl, (0, len(N_pad) - len(N_odd)))
+    Sh, Sl = sharded2d_wsum_dd(uh_s, ul_s, gh_p, gl_p, mesh)
+    S_2d = np.asarray(dd_to_f64(Sh, Sl))[: len(N_odd)]
+    assert np.max(np.abs(S_2d - S_ref) / np.maximum(S_ref, 1.0)) < 1e-12
+
+
+def test_sharded2d_solve_dd_matches_1d(problem):
+    """2-D dd solve == 1-D dd solve == f64 to the dd noise floor."""
+    from pymbar_tpu.parallel.sharding import mesh_2d, sharded2d_solve_mbar_dd
+    from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
+
+    u_kn, N_k, f_k, test = problem
+    u_pre = u_kn - u_kn.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_pre)
+
+    f_1d, info1 = solve_mbar_dd(uh, ul, N_k)
+    mesh = mesh_2d(2, 4)
+    f_2d, info2 = sharded2d_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info2["converged"]
+    assert np.max(np.abs(f_2d - f_1d)) < 5e-10
+
+    fa = test.analytical_free_energies()
+    assert np.max(np.abs(f_2d - (fa - fa[0]))) < 0.2  # statistical
+
+
+def test_sharded2d_solve_dd_beyond_single_kernel_K():
+    """K beyond the 2048 single-kernel limit, dd precision on the 2-D mesh
+    (VERDICT r1 item 6).  Certified against true-f64 first-order conditions
+    directly (a K=2304 iterative f64 reference solve needs a K^3
+    factorization per iteration — minutes on CPU CI for no extra signal)."""
+    from pymbar_tpu.ops.mbar_core import mbar_gradient, self_consistent_update
+    from pymbar_tpu.parallel.sharding import mesh_2d, sharded2d_solve_mbar_dd
+    from pymbar_tpu.solvers_large import split_u_kn_streamed
+
+    rng = np.random.default_rng(44)
+    K, npk = 2304, 4  # K > 2048
+    O = np.linspace(0.0, 3.0, K)
+    Kf = np.full(K, 2.0)
+    x = np.repeat(O, npk) + rng.normal(0, 1 / np.sqrt(2.0), K * npk)
+    u_kn = 0.5 * Kf[:, None] * (x[None, :] - O[:, None]) ** 2
+    N_k = np.full(K, float(npk))
+    u_pre = u_kn - u_kn.min(axis=0, keepdims=True)
+
+    uh, ul = split_u_kn_streamed(u_pre)
+    mesh = mesh_2d(4, 2)
+    f_2d, info = sharded2d_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info["converged"]
+    assert info["gnorm"] < 1e-8
+
+    # First-order conditions in true f64: gradient ~ 0 and SC fixed point.
+    u = jnp.asarray(u_kn)
+    nk = jnp.asarray(N_k)
+    f = jnp.asarray(f_2d)
+    g = np.asarray(mbar_gradient(u, nk, f))
+    assert np.max(np.abs(g)) / npk < 1e-10  # per-sample gradient
+    f_sc = np.array(self_consistent_update(u, nk, f))
+    f_sc = f_sc - f_sc[0]
+    assert np.max(np.abs(f_sc - f_2d)) < 1e-10
+
+
 def test_sharded_fused_lognum_matches_ref():
     """Sharded fused lognum (pads + dd merge) == unsharded f64 logsumexp."""
     from scipy.special import logsumexp as lse

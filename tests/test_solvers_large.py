@@ -57,6 +57,51 @@ def test_dd_reductions_match_f64(problem):
     assert float(jnp.max(jnp.abs(dd_to_f64(lnh, lnl) - ln64))) < 1e-11
 
 
+def test_wsum_matches_f64(problem):
+    """wsum S_k == sum_n N_k W_nk from true f64 to ~1e-12 relative, and the
+    gradient identity g_k = S_k - N_k holds against mbar_gradient."""
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd_ref
+
+    u64, N_k = problem
+    K = u64.shape[0]
+    f = jnp.asarray(np.linspace(0, 0.5, K))
+    N_kj = jnp.asarray(N_k)
+
+    ld64 = _logden_direct(u64, N_kj, f)
+    # colsum_k = sum_n W_nk = sum_n exp(f_k - u_kn - logden_n); S_k = N_k * colsum_k
+    S_expect = np.asarray(jnp.sum(jnp.exp(f[:, None] - u64 - ld64[None, :]), axis=1))
+
+    uh, ul = dd_from_f64(u64)
+    gh, gl = dd_from_f64(f + jnp.log(N_kj))
+    Sh, Sl = wsum_dd_ref(uh, ul, gh, gl)
+    S = np.asarray(dd_to_f64(Sh, Sl))
+    S_true = np.asarray(N_k) * S_expect
+    assert np.max(np.abs(S - S_true) / S_true) < 1e-12
+
+    g_direct = np.asarray(mbar_gradient(u64, N_kj, f))
+    assert np.max(np.abs((S - np.asarray(N_k)) - g_direct)) < 1e-9 * np.max(np.asarray(N_k))
+
+
+def test_wsum_pad_columns_exact():
+    """Sentinel pad columns must contribute exactly zero to S_k."""
+    from pymbar_tpu.ops.pallas_kernels import _PAD_U, wsum_dd_ref
+
+    rng = np.random.default_rng(7)
+    K, N = 4, 100
+    u = rng.uniform(0, 10, (K, N))
+    f = rng.normal(0, 0.5, K)
+    N_k = np.full(K, float(N // K * K) / K)
+    uh, ul = dd_from_f64(jnp.asarray(u))
+    gh, gl = dd_from_f64(jnp.asarray(f + np.log(N_k)))
+    S0 = dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl))
+
+    pad = 12
+    uhp = jnp.pad(uh, ((0, 0), (0, pad)), constant_values=np.float32(_PAD_U))
+    ulp = jnp.pad(ul, ((0, 0), (0, pad)))
+    S1 = dd_to_f64(*wsum_dd_ref(uhp, ulp, gh, gl))
+    assert_allclose(np.asarray(S1), np.asarray(S0), rtol=0, atol=0)
+
+
 def test_solve_mbar_dd_matches_f64_solve(problem):
     u64, N_k = problem
     K = u64.shape[0]
