@@ -192,39 +192,76 @@ class FES:
         N = int(np.sum(N_k))
 
         x_n = np.asarray(x_n)
-        bootstrap_indices = np.arange(0, N)
+
+        # Pre-draw every replicate's per-state resample indices (the same
+        # np.random draws, in the same order, as the reference's in-loop
+        # loop, fes.py:388-406), then solve all replicates' f_k as one
+        # batched vmapped device program on TPU — the warm-started adaptive
+        # while-loops, gathers and empty-state fills all batch (VERDICT r1
+        # item 7).  Off-TPU each replicate still solves directly through
+        # solve_mbar_for_all_states, skipping the per-replicate MBAR object
+        # construction the reference performs.
+        f_boots = None
+        if n_bootstraps > 0:
+            all_indices = np.zeros((n_bootstraps, N), int)
+            for b in range(n_bootstraps):
+                index = 0
+                for k in range(K):
+                    all_indices[b, index : index + N_k[k]] = index + np.random.randint(
+                        0, N_k[k], size=N_k[k]
+                    )
+                    index += N_k[k]
+            from pymbar_tpu.config import on_tpu
+
+            if on_tpu():
+                from pymbar_tpu.solvers import batched_bootstrap_solve
+
+                f_boots, n_fail = batched_bootstrap_solve(
+                    self.u_kn, self.mbar.N_k, self.mbar.f_k, all_indices
+                )
+                if n_fail:
+                    logger.warning(
+                        f"{n_fail:d}/{n_bootstraps:d} bootstrap replicates "
+                        "did not converge to within tolerance."
+                    )
 
         for b in range(n_bootstraps + 1):
             if b == 0:
                 bootstrap_indices = np.arange(0, N)
-                mbar = self.mbar
+                f_b = np.asarray(self.mbar.f_k)
                 x_nb = x_n
             else:
-                # Per-state resampling; one MBAR re-solve per bootstrap,
-                # warm-started from the converged f_k.
-                index = 0
-                for k in range(K):
-                    bootstrap_indices[index : index + N_k[k]] = index + np.random.randint(
-                        0, N_k[k], size=N_k[k]
-                    )
-                    index += N_k[k]
-                mbar = pymbar_tpu.MBAR(
-                    self.u_kn[:, bootstrap_indices],
-                    self.N_k,
-                    initial_f_k=self.mbar.f_k,
-                )
+                bootstrap_indices = all_indices[b - 1]
                 x_nb = x_n[bootstrap_indices]
+                if f_boots is not None:
+                    f_b = f_boots[b - 1]
+                else:
+                    from pymbar_tpu.mbar import MBAR as _MBAR
+                    from pymbar_tpu.solvers import (
+                        DEFAULT_SOLVER_PROTOCOL,
+                        solve_mbar_for_all_states,
+                    )
 
-            # Unnormalized log weights of the target state (device reduction).
-            log_w_nb = mbar._computeUnnormalizedLogWeights(self.u_n[bootstrap_indices])
+                    f_b = solve_mbar_for_all_states(
+                        self.u_kn[:, bootstrap_indices],
+                        self.mbar.N_k,
+                        np.asarray(self.mbar.f_k),
+                        self.mbar.states_with_samples,
+                        _MBAR._resolve_protocol(None, DEFAULT_SOLVER_PROTOCOL, 10000),
+                    )
+
+            # Unnormalized log weights of the target state (device
+            # reduction; a pure function of the replicate's f_k).
+            log_w_nb = self._unnormalized_log_weights(bootstrap_indices, f_b)
             max_log_w_nb = np.max(log_w_nb)
             w_nb = np.exp(log_w_nb - max_log_w_nb)
             w_nb = w_nb / np.sum(w_nb)
-            w_knb = np.exp(mbar.Log_W_nk)
 
             if b == 0:
                 self.w_n = w_nb
-                self.w_kn = w_knb
+                # The N x K weight matrix is only kept for the b = 0 fit
+                # (bootstrap replicates never read it).
+                self.w_kn = np.exp(self.mbar.Log_W_nk)
 
             if fes_type == "histogram":
                 self._generate_fes_histogram(b, x_nb, w_nb, log_w_nb)
@@ -237,6 +274,26 @@ class FES:
             result_vals["timing"] = timer() - start
 
         return result_vals
+
+    def _unnormalized_log_weights(self, indices, f_b):
+        """log w_n of the target state for a resampled replicate:
+        -logsumexp_k[f_k + u_n - u_kn] weighted by N_k (the replicate-f_k
+        generalization of MBAR._computeUnnormalizedLogWeights, reference
+        mbar.py:1919-1934) — one device reduction, no MBAR object."""
+        import jax.numpy as jnp
+
+        from pymbar_tpu.ops.logsumexp import logsumexp as dev_logsumexp
+
+        a = (
+            jnp.asarray(f_b)[:, None]
+            + jnp.asarray(self.u_n[indices])[None, :]
+            - jnp.asarray(self.u_kn[:, indices])
+        )
+        return np.asarray(
+            -dev_logsumexp(
+                a, axis=0, b=jnp.asarray(self.mbar.N_k, dtype=np.float64)[:, None]
+            )
+        )
 
     # --------------------------- histogram ----------------------------------
 
@@ -539,6 +596,34 @@ class FES:
         spline_data["bspline"] = b
         spline_data["xrangei"] = xrangei
         spline_data["xrangeij"] = xrangeij
+
+        # Fixed quadrature grid replacing the reference's per-basis-pair
+        # adaptive scipy.quad (reference fes.py:2418-2428; SURVEY §7 hard
+        # part #4).  Every integrand in the likelihood is (piecewise
+        # polynomial) x exp(-spline - bias): composite Gauss-Legendre on
+        # the knot intervals (4 subpanels x order 12 each) integrates them
+        # to ~1e-12 for any smooth bias, and turns the O(nspline^2 K)
+        # quad calls per Newton iteration into a handful of small matrix
+        # contractions on a P ~ 1e3-point grid.
+        breaks = np.unique(t)
+        nodes, weights = np.polynomial.legendre.leggauss(12)
+        sub = 4
+        qx, qw = [], []
+        for lo, hi in zip(breaks[:-1], breaks[1:]):
+            edges = np.linspace(lo, hi, sub + 1)
+            for s in range(sub):
+                a, c = edges[s], edges[s + 1]
+                half = 0.5 * (c - a)
+                qx.append(0.5 * (a + c) + half * nodes)
+                qw.append(half * weights)
+        quad_x = np.concatenate(qx)
+        quad_w = np.concatenate(qw)
+        # Basis values at the grid (row 0 = the pinned-c_0 basis).
+        quad_B = np.stack([db_c[i](quad_x) for i in range(nspline)], axis=0)
+        spline_data["quad_x"] = quad_x
+        spline_data["quad_w"] = quad_w
+        spline_data["quad_B"] = quad_B
+        spline_data["quad_range"] = (float(breaks[0]), float(breaks[-1]))
         return spline_data
 
     def _generate_fes_spline(self, b, x_n, w_n):
@@ -1217,218 +1302,196 @@ class FES:
     # Spline objective / gradient / Hessian
     # -------------------------------------------------------------------------
 
+    # -- likelihood internals, evaluated on the fixed Gauss-Legendre grid --
+    #
+    # The reference evaluates every integral with adaptive scipy.quad, one
+    # call per basis function (gradient) and per banded basis PAIR per
+    # state (Hessian) inside every Newton iteration — O(nspline^2 K)
+    # quadratures each resolving the same smooth exp(-F - bias) integrand
+    # (reference fes.py:2102-2428).  Here the basis matrix is evaluated
+    # once on the grid (quad_B, built at setup) and each f/g/h call is a
+    # handful of dense (nspline x P x K) matrix contractions; support
+    # restrictions need no special-casing because the basis is exactly
+    # zero outside its support.  Sample-side basis sums depend only on
+    # (x_n, w_n) and are cached per fit.
+
+    @staticmethod
+    def _eval_on_grid(func, qx, args=()):
+        """Evaluate a user callable on the grid, tolerating scalar-only
+        functions.  The reference only ever calls these inside scipy.quad
+        (one scalar x at a time, fes.py:2418-2428), so user-supplied bias
+        functions need not vectorize — probe, validate the output shape,
+        and fall back to a per-point loop (the grid is ~1e3 points)."""
+        try:
+            vals = np.asarray(func(qx, *args), dtype=np.float64)
+            # A function that reduces over x (e.g. a multi-dim bias summing
+            # "coordinates") can still broadcast back to the right shape;
+            # spot-check one point against its scalar evaluation.
+            v0 = float(func(qx[0], *args))
+            if vals.shape == qx.shape and np.isclose(
+                vals[0], v0, rtol=1e-10, atol=1e-300
+            ):
+                return vals
+        except Exception:
+            pass
+        return np.array([float(func(x, *args)) for x in qx], dtype=np.float64)
+
+    def _quad_bias(self):
+        """Bias values (K, P) on the quadrature grid, computed once."""
+        if "quad_bias" not in self.spline_data:
+            fkbias = self.spline_parameters["fkbias"]
+            qx = self.spline_data["quad_x"]
+            self.spline_data["quad_bias"] = np.stack(
+                [self._eval_on_grid(fkbias[k], qx) for k in range(self.mbar.K)],
+                axis=0,
+            )
+        return self.spline_data["quad_bias"]
+
+    def _spline_sample_sums(self, x_n, w_n):
+        """Weighted basis-sample sums S (nspline,): f_sample = c_full . S
+        and g_sample = S[1:].  Pure functions of (x_n, w_n, weighting mode)
+        — computed once per fit and cached (the reference re-evaluates
+        every basis spline over all N samples in every f and g call)."""
+        mode = self.spline_parameters["spline_weights"]
+        key = (id(x_n), id(w_n), mode)
+        cache = getattr(self, "_spline_sums_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+
+        mbar = self.mbar
+        K = mbar.K
+        N = self.N
+        nspline = self.spline_parameters["nspline"]
+        db_c = self.spline_data["bspline_derivatives"]
+        Bx = np.stack([db_c[i](x_n) for i in range(nspline)], axis=0)
+        if mode == "simplesum":
+            S = np.zeros(nspline)
+            for k in range(K):
+                S += (N / K) * Bx[:, mbar.x_kindices == k].mean(axis=1)
+        elif mode == "biasedstates":
+            S = Bx.sum(axis=1)
+        elif mode == "unbiasedstate":
+            S = N * (Bx @ np.asarray(w_n))
+        else:
+            raise ParameterError(f"Unknown spline_weights {mode}")
+        self._spline_sums_cache = (key, S)
+        return S
+
+    def _spline_quad_core(self, xi):
+        """(c_full, E, pF, integral_scaling) at coefficients xi: the
+        Boltzmann factors on the grid and their normalizers per state."""
+        spline_weights = self.spline_parameters["spline_weights"]
+        qw = self.spline_data["quad_w"]
+        qB = self.spline_data["quad_B"]
+        c_full = np.concatenate([[self.spline_data["bspline"].c[0]], xi])
+        Fq = c_full @ qB  # (P,)
+
+        if spline_weights in ("simplesum", "biasedstates"):
+            E = np.exp(-Fq[None, :] - self._quad_bias())  # (K, P)
+            pF = E @ qw  # (K,)
+            if spline_weights == "simplesum":
+                integral_scaling = (self.N / self.mbar.K) * np.ones(self.mbar.K)
+            else:
+                integral_scaling = np.asarray(self.mbar.N_k, dtype=np.float64)
+        else:
+            E = np.exp(-Fq)[None, :]  # (1, P)
+            pF = E @ qw  # (1,)
+            integral_scaling = None
+        return c_full, E, pF, integral_scaling
+
     def _bspline_calculate_f(self, xi, x_n, w_n):
         """Minus log likelihood of the splined FES (reference fes.py:2102-2186).
 
         f = sum_n scale_n F(x_n) + sum_k scale_k ln int exp(-F - bias_k),
         with weighting per ``spline_weights``; MAP subtracts the log prior.
         """
-        mbar = self.mbar
-        K = mbar.K
-        N_k = mbar.N_k
-        N = self.N
-
-        bloc = self._val_to_spline(xi)
         spline_weights = self.spline_parameters["spline_weights"]
-        xrange = self.spline_parameters["xrange"]
-        fkbias = self.spline_parameters["fkbias"]
+        c_full, E, pF, integral_scaling = self._spline_quad_core(xi)
+        S = self._spline_sample_sums(x_n, w_n)
 
-        if spline_weights in ["simplesum", "biasedstates"]:
-            pF = np.zeros(K)
-            if spline_weights == "simplesum":
-                f = 0.0
-                for k in range(K):
-                    f += (N / K) * np.mean(bloc(x_n[mbar.x_kindices == k]))
-                integral_scaling = (N / K) * np.ones(K)
-            else:
-                f = np.sum(bloc(x_n))
-                integral_scaling = N_k
-
-            expf = list()
-            for k in range(K):
-
-                def expfk(x, kf=k):
-                    return np.exp(-bloc(x) - fkbias[kf](x))
-
-                pF[k] = self._integrate(expfk, xrange[0], xrange[1])
-                expf.append(expfk)
-            f += np.dot(integral_scaling, np.log(pF))
-
-        elif spline_weights == "unbiasedstate":
-            f = N * np.dot(w_n, bloc(x_n))
-
-            def expf(x):
-                return np.exp(-bloc(x))
-
-            pF = self._integrate(expf, xrange[0], xrange[1])
-            f += N * np.log(pF)
+        f = float(c_full @ S)
+        if spline_weights in ("simplesum", "biasedstates"):
+            f += float(np.dot(integral_scaling, np.log(pF)))
         else:
-            raise ParameterError(f"Unknown spline_weights {spline_weights}")
-
-        self.spline_data["bspline_expf"] = expf
-        self.spline_data["bspline_pF"] = pF
+            f += float(self.N * np.log(pF[0]))
 
         logprior = self.spline_parameters["map_data"]["logprior"]
         if logprior is not None:
             f -= logprior(np.concatenate([[0], xi], axis=None))
-
         return f
 
     def _bspline_calculate_g(self, xi, x_n, w_n):
         """Gradient: basis sums over samples minus Boltzmann-weighted basis
         expectations (reference fes.py:2188-2306)."""
-        mbar = self.mbar
-        K = mbar.K
-        N_k = mbar.N_k
-        N = self.N
-
-        bloc = self._val_to_spline(xi)
         spline_weights = self.spline_parameters["spline_weights"]
-        nspline = self.spline_parameters["nspline"]
-        xrange = self.spline_parameters["xrange"]
-        fkbias = self.spline_parameters["fkbias"]
-        db_c = self.spline_data["bspline_derivatives"]
-        xrangei = self.spline_data["xrangei"]
+        qw = self.spline_data["quad_w"]
+        qB = self.spline_data["quad_B"]
+        c_full, E, pF, integral_scaling = self._spline_quad_core(xi)
+        S = self._spline_sample_sums(x_n, w_n)
 
-        pF = np.zeros(K)
-        if spline_weights == "simplesum":
-            integral_scaling = (N / K) * np.ones(K)
-        elif spline_weights == "biasedstates":
-            integral_scaling = N_k
-
-        g = np.zeros(nspline - 1)
-        for i in range(1, nspline):
-            if spline_weights == "simplesum":
-                for k in range(K):
-                    g[i - 1] += (N / K) * np.mean(db_c[i](x_n[mbar.x_kindices == k]))
-            elif spline_weights == "biasedstates":
-                g[i - 1] = np.sum(db_c[i](x_n))
-            elif spline_weights == "unbiasedstate":
-                g[i - 1] = N * np.dot(w_n, db_c[i](x_n))
-
-        if spline_weights in ["biasedstates", "simplesum"]:
-            gkquad = np.zeros([nspline - 1, K])
-
-            def expf(x, k):
-                return np.exp(-bloc(x) - fkbias[k](x))
-
-            for k in range(K):
-                pF[k] = self._integrate(expf, xrange[0], xrange[1], args=(k,))
-                for i in range(nspline - 1):
-
-                    def dexpf(x, kf=k, idx=i):
-                        return db_c[idx + 1](x) * expf(x, kf)
-
-                    pE = self._integrate(dexpf, xrangei[i + 1, 0], xrangei[i + 1, 1])
-                    gkquad[i, k] = pE / pF[k]
-            g -= np.dot(gkquad, integral_scaling)
-            pE = None
+        g = S[1:].astype(np.float64, copy=True)
+        Bw = qB[1:] * qw[None, :]  # (nspline-1, P)
+        if spline_weights in ("simplesum", "biasedstates"):
+            gkquad = (Bw @ E.T) / pF[None, :]  # (nspline-1, K)
+            g -= gkquad @ integral_scaling
         else:
-            gkquad = 0
-
-            def expf_u(x):
-                return np.exp(-bloc(x))
-
-            pF = self._integrate(expf_u, xrange[0], xrange[1])
-            pE = np.zeros(nspline - 1)
-            for i in range(nspline - 1):
-
-                def dexpf_u(x, idx=i):
-                    return db_c[idx + 1](x) * expf_u(x)
-
-                pE[i] = self._integrate(dexpf_u, xrangei[i + 1, 0], xrangei[i + 1, 1])
-                pE[i] /= pF
-            g -= N * pE
+            g -= self.N * (Bw @ E[0]) / pF[0]
 
         dlogprior = self.spline_parameters["map_data"]["dlogprior"]
         if dlogprior is not None:
             g -= dlogprior(np.concatenate([[0], xi], axis=None))
-
-        self.spline_data["bspline_gkquad"] = gkquad
-        self.spline_data["bspline_pE"] = pE
         return g
 
     def _bspline_calculate_h(self, xi, x_n, w_n):
-        """Banded Hessian (|i-j| <= degree) of second-moment basis integrals
-        minus the outer product of the first moments (reference fes.py:2308-2416).
-
-        Assumes the gradient was just evaluated at the same xi (reuses its
-        cached pF/pE/gkquad), as in the reference.
-        """
-        mbar = self.mbar
-        K = mbar.K
-        N_k = mbar.N_k
-        N = self.N
-
-        bloc = self._val_to_spline(xi)
+        """Hessian: second-moment basis integrals minus the outer product of
+        the first moments (reference fes.py:2308-2416; banded |i-j| <= degree
+        structure arises naturally — basis products vanish pointwise off the
+        band, no special-casing needed)."""
         spline_weights = self.spline_parameters["spline_weights"]
-        nspline = self.spline_parameters["nspline"]
-        kdegree = self.spline_parameters["kdegree"]
-        fkbias = self.spline_parameters["fkbias"]
-        db_c = self.spline_data["bspline_derivatives"]
-        xrangeij = self.spline_data["xrangeij"]
-        expf = self.spline_data["bspline_expf"]
-        gkquad = self.spline_data["bspline_gkquad"]
-        pF = self.spline_data["bspline_pF"]
-        pE = self.spline_data["bspline_pE"]
+        qw = self.spline_data["quad_w"]
+        qB = self.spline_data["quad_B"]
+        c_full, E, pF, integral_scaling = self._spline_quad_core(xi)
 
-        if spline_weights == "simplesum":
-            integral_scaling = N / K * np.ones(K)
-        elif spline_weights == "biasedstates":
-            integral_scaling = N_k
-
-        h = np.zeros([nspline - 1, nspline - 1])
-
-        if spline_weights in ["simplesum", "biasedstates"]:
-            for k in range(K):
-                h += -integral_scaling[k] * np.outer(gkquad[:, k], gkquad[:, k])
-            for i in range(nspline - 1):
-                for j in range(0, i + 1):
-                    if abs(i - j) <= kdegree:
-                        for k in range(K):
-
-                            def ddexpf(x, kf=k, ii=i, jj=j):
-                                return db_c[ii + 1](x) * db_c[jj + 1](x) * expf[kf](x)
-
-                            pE_ij = integral_scaling[k] * self._integrate(
-                                ddexpf,
-                                xrangeij[i + 1, j + 1, 0],
-                                xrangeij[i + 1, j + 1, 1],
-                            )
-                            h[i, j] += pE_ij / pF[k]
+        B1 = qB[1:]  # (nspline-1, P)
+        Bw = B1 * qw[None, :]
+        if spline_weights in ("simplesum", "biasedstates"):
+            gkquad = (Bw @ E.T) / pF[None, :]  # (nspline-1, K)
+            h = -(gkquad * integral_scaling[None, :]) @ gkquad.T
+            # sum_k (scale_k / pF_k) * int B_i B_j exp(-F - bias_k)
+            Escaled = (integral_scaling / pF)[:, None] * E  # (K, P)
+            h += (Bw * Escaled.sum(axis=0)[None, :]) @ B1.T
         else:
-            h = -N * np.outer(pE, pE)
-
-            def expf_u(x):
-                return np.exp(-bloc(x))
-
-            for i in range(nspline - 1):
-                for j in range(0, i + 1):
-                    if abs(i - j) <= kdegree:
-
-                        def ddexpf_u(x, ii=i, jj=j):
-                            return db_c[ii + 1](x) * db_c[jj + 1](x) * expf_u(x)
-
-                        pE_ij = self._integrate(
-                            ddexpf_u,
-                            xrangeij[i + 1, j + 1, 0],
-                            xrangeij[i + 1, j + 1, 1],
-                        )
-                        h[i, j] += N * pE_ij / pF
-
-        for i in range(nspline - 1):
-            for j in range(i + 1, nspline - 1):
-                h[i, j] = h[j, i]
+            pE = (Bw @ E[0]) / pF[0]
+            h = -self.N * np.outer(pE, pE)
+            h += (self.N / pF[0]) * (Bw * E[0][None, :]) @ B1.T
 
         ddlogprior = self.spline_parameters["map_data"]["ddlogprior"]
         if ddlogprior is not None:
             h -= ddlogprior(np.concatenate([[0], xi], axis=None))
-
         return h
 
-    @staticmethod
-    def _integrate(func, xlow, xhigh, args=(), method="quad"):
-        """Adaptive quadrature wrapper (reference fes.py:2418-2428)."""
+    def _integrate(self, func, xlow, xhigh, args=(), method=None):
+        """Integrate a smooth FES-type integrand over [xlow, xhigh].
+
+        Defaults to the fixed composite Gauss-Legendre grid when one covers
+        the requested interval (every caller integrates exp(-spline - bias)
+        over the spline range); method="quad" forces the reference's
+        adaptive scipy.quad (fes.py:2418-2428) — kept for cross-validation.
+        """
+        if method is None:
+            sd = getattr(self, "spline_data", None) or {}
+            qrange = sd.get("quad_range")
+            if qrange is not None:
+                lo, hi = qrange
+                eps = 1e-12 * max(1.0, abs(hi - lo))
+                if abs(xlow - lo) <= eps and abs(xhigh - hi) <= eps:
+                    return float(
+                        np.dot(
+                            sd["quad_w"],
+                            self._eval_on_grid(func, sd["quad_x"], args),
+                        )
+                    )
+            method = "quad"
         if method == "quad":
             return quad(func, xlow, xhigh, args)[0]
         raise ParameterError(f"integration method {method} not yet implemented")

@@ -315,76 +315,26 @@ class MBAR:
             logger.info("MBAR initialization complete.")
 
     def _bootstrap_solve_batched(self, stage, verbose):
-        """Solve all bootstrap replicates batched under vmap.
-
-        Equivalent to per-replicate solve_mbar_for_all_states with the
-        single-stage adaptive bootstrap protocol (reference mbar.py:417-449),
-        but the per-replicate gathers, preconditioning, adaptive while-loops
-        and the empty-state SC fill all run as one vmapped device program
-        per chunk of replicates.
-        """
-        import jax
-
-        from pymbar_tpu.ops.mbar_core import (
-            _log_numerator_k,
-            log_denominator_n,
-            precondition_u_kn,
-        )
-        from pymbar_tpu.solvers import _adaptive_while
-
-        B = self.n_bootstraps
-        sws = self.states_with_samples
+        """Solve all bootstrap replicates batched under vmap (the shared
+        machinery in solvers.batched_bootstrap_solve; reference per-replicate
+        semantics mbar.py:417-449)."""
         options = stage.get("options") or {}
-        maxiter = int(options.get("maxiter", 10000))
-        min_sc_iter = int(options.get("min_sc_iter", 2))
-        gamma = float(options.get("gamma", 1.0))
-        tol = 1.0e-12  # solve_mbar_once default
-
-        u_dev = jnp.asarray(self.u_kn)
-        N_sub = jnp.asarray(self.N_k[sws], dtype=jnp.float64)
-        N_all = jnp.asarray(self.N_k, dtype=jnp.float64)
-        f_init = jnp.asarray(self.f_k - self.f_k[0])
-        sws_dev = jnp.asarray(sws)
-
-        def solve_one(rints):
-            u_full = u_dev[:, rints]
-            u_sub = u_full[sws_dev]
-            u_sub = precondition_u_kn(u_sub, N_sub, f_init[sws_dev])
-            f_nz, _it, _sci, _nr, _delta, done = _adaptive_while(
-                u_sub,
-                N_sub,
-                f_init[sws_dev],
-                jnp.asarray(gamma, jnp.float64),
-                jnp.asarray(tol, jnp.float64),
-                maxiter,
-                min_sc_iter,
-                "lstsq",
-            )
-            f_all = jnp.zeros(self.K, dtype=jnp.float64).at[sws_dev].set(f_nz)
-            # Empty-state fill: one SC update over all states, re-pin f_0.
-            logden = log_denominator_n(u_full, N_all, f_all)
-            f_all = -_log_numerator_k(u_full, logden)
-            return f_all - f_all[0], done
-
-        solve_batch = jax.jit(jax.vmap(solve_one))
-
-        # Chunk replicates to bound the B x K x N resampled-matrix memory.
-        bytes_per = self.u_kn.size * 8
-        chunk = int(max(1, min(B, (1 << 28) // max(bytes_per, 1))))
-        n_fail = 0
-        for start in range(0, B, chunk):
-            r = jnp.asarray(self.bootstrap_rints[start : start + chunk])
-            f_b, done_b = solve_batch(r)
-            self.f_k_boots[start : start + chunk] = np.asarray(f_b)
-            n_fail += int(np.sum(~np.asarray(done_b)))
-            if verbose:
-                logger.info(
-                    f"Calculated {min(start + chunk, B):d}/{B:d} bootstrap samples"
-                )
+        f_boots, n_fail = mbar_solvers.batched_bootstrap_solve(
+            self.u_kn,
+            self.N_k,
+            self.f_k,
+            self.bootstrap_rints,
+            maxiter=int(options.get("maxiter", 10000)),
+            min_sc_iter=int(options.get("min_sc_iter", 2)),
+            gamma=float(options.get("gamma", 1.0)),
+            tol=1.0e-12,  # solve_mbar_once default
+            verbose=verbose,
+        )
+        self.f_k_boots[:] = f_boots
         if n_fail:
             logger.warning(
-                f"{n_fail:d}/{B:d} bootstrap replicates did not converge to "
-                "within tolerance."
+                f"{n_fail:d}/{self.n_bootstraps:d} bootstrap replicates did "
+                "not converge to within tolerance."
             )
 
     @staticmethod

@@ -57,6 +57,7 @@ __all__ = [
     "solve_mbar_once",
     "solve_mbar",
     "solve_mbar_for_all_states",
+    "batched_bootstrap_solve",
 ]
 
 # Protocol constants (reference mbar_solvers.py:102-118).  The reference's
@@ -673,6 +674,89 @@ def solve_mbar(u_kn_nonzero, N_k_nonzero, f_k_nonzero, solver_protocol=None):
 
     logger.info(f"Final gradient norm: {best_gnorm:.3g}")
     return f_k_nonzero_result, all_results
+
+
+def batched_bootstrap_solve(
+    u_kn,
+    N_k,
+    f_k,
+    rints,
+    maxiter=10000,
+    min_sc_iter=2,
+    gamma=1.0,
+    tol=1.0e-12,
+    nr_method="lstsq",
+    chunk_bytes=1 << 28,
+    verbose=False,
+):
+    """Solve every bootstrap replicate's f_k batched under vmap.
+
+    Equivalent to per-replicate ``solve_mbar_for_all_states`` with a
+    single-stage adaptive protocol warm-started at the converged ``f_k``
+    (reference mbar.py:417-449), but the per-replicate gathers,
+    preconditioning, adaptive while-loops and the empty-state SC fill all
+    run as one vmapped device program per chunk of replicates.  Replicates
+    chunk to bound the B x K x N resampled-matrix memory.
+
+    Parameters: ``rints`` is the (B, N) resample-index matrix.  Returns
+    (f_boots (B, K) ndarray, n_fail).
+    """
+    from pymbar_tpu.ops.mbar_core import (
+        _log_numerator_k,
+        log_denominator_n,
+        precondition_u_kn,
+    )
+
+    u_kn = np.asarray(u_kn)
+    N_k = np.asarray(N_k, dtype=np.float64)
+    f_k = np.asarray(f_k, dtype=np.float64)
+    rints = np.asarray(rints)
+    B = rints.shape[0]
+    K = len(N_k)
+    sws = np.where(N_k != 0)[0]
+
+    u_dev = jnp.asarray(u_kn)
+    N_sub = jnp.asarray(N_k[sws])
+    N_all = jnp.asarray(N_k)
+    f_init = jnp.asarray(f_k - f_k[0])
+    sws_dev = jnp.asarray(sws)
+
+    def solve_one(r):
+        u_full = u_dev[:, r]
+        u_sub = u_full[sws_dev]
+        u_sub = precondition_u_kn(u_sub, N_sub, f_init[sws_dev])
+        f_nz, _it, _sci, _nr, _delta, done = _adaptive_while(
+            u_sub,
+            N_sub,
+            f_init[sws_dev],
+            jnp.asarray(gamma, jnp.float64),
+            jnp.asarray(tol, jnp.float64),
+            maxiter,
+            min_sc_iter,
+            nr_method,
+        )
+        f_all = jnp.zeros(K, dtype=jnp.float64).at[sws_dev].set(f_nz)
+        # Empty-state fill: one SC update over all states, re-pin f_0.
+        logden = log_denominator_n(u_full, N_all, f_all)
+        f_all = -_log_numerator_k(u_full, logden)
+        return f_all - f_all[0], done
+
+    solve_batch = jax.jit(jax.vmap(solve_one))
+
+    f_boots = np.zeros((B, K))
+    bytes_per = u_kn.size * 8
+    chunk = int(max(1, min(B, chunk_bytes // max(bytes_per, 1))))
+    n_fail = 0
+    for start in range(0, B, chunk):
+        r = jnp.asarray(rints[start : start + chunk])
+        f_b, done_b = solve_batch(r)
+        f_boots[start : start + chunk] = np.asarray(f_b)
+        n_fail += int(np.sum(~np.asarray(done_b)))
+        if verbose:
+            logger.info(
+                f"Calculated {min(start + chunk, B):d}/{B:d} bootstrap samples"
+            )
+    return f_boots, n_fail
 
 
 def solve_mbar_for_all_states(u_kn, N_k, f_k, states_with_samples, solver_protocol):

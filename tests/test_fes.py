@@ -432,3 +432,70 @@ def test_information_criteria_requires_spline(fes_1d):
     )
     with pytest.raises(ParameterError):
         fes.get_information_criteria("aic")
+
+
+def test_spline_quadrature_grid_matches_scipy_quad(fes_1d):
+    """The fixed Gauss-Legendre grid must reproduce adaptive scipy.quad on
+    every integrand family the likelihood uses: exp(-F - bias_k), basis-
+    weighted first moments, and basis-pair second moments."""
+    from scipy.integrate import quad
+
+    # The well-conditioned configuration (spline range matched to the data
+    # support): with the default [-3, 3] range the fitted spline is
+    # unconstrained outside ~[-0.75, 0.75] and exp(-F) spikes to ~1e37 at
+    # the edges — where adaptive quad silently returns 0 (it never finds
+    # the spike), so there is no meaningful reference to compare against.
+    fes = _run_spline(fes_1d, {}, "from-lowest", algorithm="Custom-NR")
+    sd = fes.spline_data
+    params = fes.spline_parameters
+    bloc = sd["bspline"]
+    db_c = sd["bspline_derivatives"]
+    fkbias = params["fkbias"]
+    lo, hi = sd["quad_range"]
+    qx, qw = sd["quad_x"], sd["quad_w"]
+
+    nspline = params["nspline"]
+    # fkbias callables are scalar-only (as in the reference's quad usage):
+    # evaluate through the library's safe grid evaluator.
+    from pymbar_tpu.fes import FES as _FES
+
+    for k in (0, len(fkbias) // 2):
+        f_int = lambda x: np.exp(-bloc(x) - fkbias[k](x))
+        ref = quad(f_int, lo, hi, limit=200)[0]
+        got = float(np.dot(qw, _FES._eval_on_grid(f_int, qx)))
+        assert abs(got - ref) / abs(ref) < 1e-9
+
+        for i in (1, nspline - 1):
+            g_int = lambda x: db_c[i](x) * np.exp(-bloc(x) - fkbias[k](x))
+            ref = quad(g_int, lo, hi, limit=200)[0]
+            got = float(np.dot(qw, _FES._eval_on_grid(g_int, qx)))
+            assert abs(got - ref) <= 1e-9 * max(1.0, abs(ref))
+
+        h_int = lambda x: db_c[1](x) * db_c[2](x) * np.exp(-bloc(x) - fkbias[k](x))
+        ref = quad(h_int, lo, hi, limit=200)[0]
+        got = float(np.dot(qw, _FES._eval_on_grid(h_int, qx)))
+        assert abs(got - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_spline_fgh_consistency(fes_1d):
+    """Analytic gradient/Hessian from the grid match finite differences of
+    the objective — the contract scipy.minimize and Custom-NR rely on."""
+    fes = _run_spline(fes_1d, {}, "from-lowest", algorithm="Custom-NR")
+    xi = np.asarray(fes.spline_data["first_coefficients"], dtype=np.float64)
+    x_n = fes_1d["x_n"][:, 0]
+    w_n = fes.w_n
+
+    g = fes._bspline_calculate_g(xi, x_n, w_n)
+    h = fes._bspline_calculate_h(xi, x_n, w_n)
+    eps = 1e-6
+    for j in range(len(xi)):
+        e = np.zeros_like(xi)
+        e[j] = eps
+        fp = fes._bspline_calculate_f(xi + e, x_n, w_n)
+        fm = fes._bspline_calculate_f(xi - e, x_n, w_n)
+        assert abs((fp - fm) / (2 * eps) - g[j]) < 1e-3 * max(1.0, abs(g[j]))
+        gp = fes._bspline_calculate_g(xi + e, x_n, w_n)
+        gm = fes._bspline_calculate_g(xi - e, x_n, w_n)
+        assert np.max(np.abs((gp - gm) / (2 * eps) - h[:, j])) < 1e-3 * np.max(
+            np.abs(h)
+        )
