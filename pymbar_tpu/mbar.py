@@ -43,6 +43,12 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["MBAR"]
 
+# Above this many bytes of u_kn, compute_expectations_inner streams the
+# augmented-state machinery over n-chunks on device instead of building the
+# N x (K+NL+S) host matrix (which is 160+ GB at the K=1024 x N=1e7 target).
+_AUG_STREAM_BYTES = 512 * 2**20
+_AUG_CHUNK_BYTES = 128 * 2**20
+
 
 
 def _wtw_gram(W, block_bytes=2**30):
@@ -563,6 +569,43 @@ class MBAR:
             A_n[i, :] = A_n[i, :] - (A_min[i] - logfactors[i])
 
         msize = K + NL + S
+
+        # At scale the N x msize augmented matrix cannot exist (160+ GB at
+        # the K=1024 x N=1e7 target): stream the whole machinery over
+        # n-chunks on device instead.  The 'svd' estimator and the
+        # bootstrap branch keep the materializing path (svd needs W itself;
+        # bootstrap re-solves are small-N workflows).
+        if (
+            self.u_kn.nbytes >= _AUG_STREAM_BYTES
+            and uncertainty_method != "bootstrap"
+            and uncertainty_method != "svd"
+            # every caller builds contiguous extra states; anything else
+            # keeps the reference's materializing path
+            and np.array_equal(np.asarray(L_list), np.arange(NL))
+            and u_ln.shape[0] == NL
+        ):
+            f_aug, Theta_ij = self._expectations_streamed(
+                A_n, u_ln, state_map, S, L_list,
+                method=uncertainty_method, need_theta=return_theta,
+            )
+            A_i = np.exp(-f_aug[K + NL : K + NL + S])
+            if S > 0:
+                result_vals["observables"] = A_i + (
+                    A_min[state_map[1, :S]] - logfactors[state_map[1, :S]]
+                )
+            result_vals["f"] = f_aug[K + state_list]
+            if return_theta:
+                si = K + NL + np.arange(S) if S > 0 else np.zeros(0, dtype=int)
+                li = K + state_list
+                idx = np.concatenate((si, li))
+                result_vals["Theta"] = Theta_ij[np.ix_(idx, idx)]
+                if S > 0:
+                    result_vals["Amin"] = (
+                        A_min[state_map[1, np.arange(S)]]
+                        - logfactors[state_map[1, np.arange(S)]]
+                    )
+            return result_vals
+
         Log_W_nk = np.zeros([N, msize], np.float64)
         N_k = np.zeros(msize, np.int64)
         f_k = np.zeros(msize, np.float64)
@@ -663,6 +706,164 @@ class MBAR:
                 )
 
         return result_vals
+
+    def _expectations_streamed(self, A_n, u_ln, state_map, S, L_list, method, need_theta):
+        """Augmented-state expectations without the N x (K+NL+S) matrix.
+
+        Same algebra as the materializing branch (reference mbar.py:732-1030)
+        in two chunked device passes over the sample axis:
+
+        * pass A accumulates each extra state's log normalizer
+          log C_l = -logsumexp_n(-u_ln[l] - logden_n) and each observable
+          pseudo-state's reduction logsumexp_n(log A + (-u_l - logden)) with
+          running-max rescaled-sum carries (flash-logsumexp across chunks);
+        * pass B (only when a covariance is requested) rebuilds each
+          augmented weight slab in log space on device and accumulates the
+          (K+NL+S)^2 Gram, column sums and row-normalization aggregates.
+
+        Peak memory is one n-chunk; at the K=1024 x N=1e7 target the host
+        path's augmented matrix alone would be 160+ GB.  Returns
+        (f_aug (msize,), Theta or None).
+        """
+        import jax
+
+        from pymbar_tpu.config import on_tpu
+        from pymbar_tpu.ops.mbar_core import _logden_direct
+
+        K = self.K
+        N = self.N
+        NL = len(L_list)
+        msize = K + NL + S
+        sws = np.where(self.N_k > 0)[0]
+
+        l_of_s = state_map[0, :S].astype(int) if S > 0 else np.zeros(0, int)
+        i_of_s = state_map[1, :S].astype(int) if S > 0 else np.zeros(0, int)
+        u_ln = np.asarray(u_ln)
+
+        f_dev = jnp.asarray(self.f_k)
+        fs_dev = jnp.asarray(self.f_k[sws])
+        Ns_dev = jnp.asarray(self.N_k[sws], dtype=jnp.float64)
+        Nk_dev = jnp.asarray(self.N_k, dtype=jnp.float64)
+        sws_dev = jnp.asarray(sws)
+        lidx_dev = jnp.asarray(l_of_s)
+
+        nc = max(1, int(_AUG_CHUNK_BYTES // (8 * max(K, 1))))
+        starts = list(range(0, N, nc))
+
+        @jax.jit
+        def pass_a(u_c, ul_c, la_c):
+            ld = _logden_direct(jnp.take(u_c, sws_dev, axis=0), Ns_dev, fs_dev)
+            a_l = -ul_c - ld[None, :]  # (NL, nc)
+            m_l = jnp.max(a_l, axis=1)
+            m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
+            s_l = jnp.sum(jnp.exp(a_l - m_l_safe[:, None]), axis=1)
+            a_s = la_c + jnp.take(a_l, lidx_dev, axis=0)  # (S, nc)
+            m_s = jnp.max(a_s, axis=1)
+            m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
+            s_s = jnp.sum(jnp.exp(a_s - m_s_safe[:, None]), axis=1)
+            return m_l, s_l, m_s, s_s
+
+        def combine(m, s, m_c, s_c):
+            m_new = np.maximum(m, m_c)
+            safe = np.where(np.isfinite(m_new), m_new, 0.0)
+            return m_new, s * np.exp(m - safe) + s_c * np.exp(m_c - safe)
+
+        with np.errstate(divide="ignore"):
+            logA = np.log(A_n) if S > 0 else np.zeros((0, N))
+
+        m_l = np.full(NL, -np.inf)
+        s_l = np.zeros(NL)
+        m_s = np.full(S, -np.inf)
+        s_s = np.zeros(S)
+        for c0 in starts:
+            c1 = min(c0 + nc, N)
+            ml_c, sl_c, ms_c, ss_c = pass_a(
+                jnp.asarray(self.u_kn[:, c0:c1]),
+                jnp.asarray(u_ln[:, c0:c1]),
+                jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+            )
+            with np.errstate(invalid="ignore"):
+                m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+
+        with np.errstate(divide="ignore"):
+            log_C = -(np.log(s_l) + m_l)  # (NL,)
+            R_s = np.log(s_s) + m_s  # (S,)
+        f_sa = -(log_C[l_of_s] + R_s) if S > 0 else np.zeros(0)
+
+        f_aug = np.zeros(msize)
+        f_aug[:K] = self.f_k
+        f_aug[K : K + NL] = log_C  # L_list == arange(NL), checked by the router
+        f_aug[K + NL :] = f_sa
+
+        if not need_theta:
+            return f_aug, None
+
+        # ---- pass B: augmented Gram + normalization aggregates.
+        compute_dtype = jnp.float32 if on_tpu() else jnp.float64
+        logC_dev = jnp.asarray(log_C)
+        # observable rows: (f_sa + log C_l) + log A - u_l - logden
+        obs_shift = jnp.asarray(f_sa + (log_C[l_of_s] if S > 0 else 0.0))
+
+        @jax.jit
+        def pass_b(u_c, ul_c, la_c, base):
+            ld = _logden_direct(jnp.take(u_c, sws_dev, axis=0), Ns_dev, fs_dev)
+            logw0 = f_dev[:, None] - u_c - ld[None, :]
+            logwL = logC_dev[:, None] - ul_c - ld[None, :]
+            logwS = (
+                obs_shift[:, None]
+                + la_c
+                - jnp.take(ul_c, lidx_dev, axis=0)
+                - ld[None, :]
+            )
+            W = jnp.exp(
+                jnp.concatenate([logw0, logwL, logwS], axis=0).astype(compute_dtype)
+            )
+            gram = jnp.dot(W, W.T, preferred_element_type=compute_dtype)
+            colsum = jnp.sum(W, axis=1)
+            rowsum = jnp.dot(
+                Nk_dev.astype(compute_dtype), W[:K]
+            ).astype(jnp.float64)
+            bad = jnp.abs(rowsum - 1.0) > 1.0e-4
+            cnt = jnp.sum(bad)
+            lf = jnp.argmax(bad)
+            gidx = jnp.where(jnp.any(bad), base + lf, jnp.asarray(N + 1, jnp.int64))
+            return (
+                gram.astype(jnp.float64),
+                colsum.astype(jnp.float64),
+                cnt,
+                gidx,
+                rowsum[lf],
+            )
+
+        gram = np.zeros((msize, msize))
+        colsum = np.zeros(msize)
+        n_bad = 0
+        first_bad = N + 1
+        first_val = 0.0
+        for c0 in starts:
+            c1 = min(c0 + nc, N)
+            g_c, cs_c, cnt, gidx, val = pass_b(
+                jnp.asarray(self.u_kn[:, c0:c1]),
+                jnp.asarray(u_ln[:, c0:c1]),
+                jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                jnp.asarray(c0, dtype=jnp.int64),
+            )
+            gram += np.asarray(g_c)
+            colsum += np.asarray(cs_c)
+            n_bad += int(cnt)
+            if int(gidx) < first_bad:
+                first_bad = int(gidx)
+                first_val = float(val)
+
+        self._check_normalized_aggregates(colsum, (n_bad, first_bad, first_val))
+
+        if method == "approximate":
+            return f_aug, gram
+        # default / svd-ew
+        N_aug = np.zeros(msize)
+        N_aug[:K] = self.N_k
+        return f_aug, self._theta_svd_ew_from_gram(gram, N_aug)
 
     def compute_covariance_of_sums(self, d_ij, K, a):
         """Variance of weighted sums of free-energy differences.

@@ -441,3 +441,40 @@ def test_covariance_of_sums_matches_bruteforce(bundle_kln):
                     )
     want = np.sqrt(d2)
     np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+def test_streamed_expectations_match_materialized(bundle_ho, monkeypatch):
+    """The chunked device-streamed augmented-expectations path (used at
+    GB scale, where the N x (K+NL+S) host matrix cannot exist) must
+    reproduce the materializing path's observables, free energies and
+    covariances to near machine precision."""
+    import pymbar_tpu.mbar as mbar_mod
+
+    mbar = bundle_ho["mbar"]
+    x_n = bundle_ho["x_n"]
+    u_kn = bundle_ho["u_kn"]
+
+    r_host = {}
+    r_stream = {}
+    for tag, patch in (("host", 2**62), ("stream", 0)):
+        monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", patch)
+        out = {}
+        out["exp"] = mbar.compute_expectations(x_n, return_theta=True)
+        out["exp_diff"] = mbar.compute_expectations(x_n, output="differences")
+        out["exp2"] = mbar.compute_expectations(x_n**2)
+        out["mult"] = mbar.compute_multiple_expectations(
+            np.stack([x_n, x_n**2]), u_kn[0], compute_covariance=True
+        )
+        out["pert"] = mbar.compute_perturbed_free_energies(u_kn + 0.3)
+        out["ent"] = mbar.compute_entropy_and_enthalpy(u_kn)
+        (r_host if tag == "host" else r_stream).update(out)
+
+    for key in r_host:
+        for field, val in r_host[key].items():
+            np.testing.assert_allclose(
+                r_stream[key][field],
+                val,
+                rtol=1e-8,
+                atol=1e-10,
+                err_msg=f"{key}.{field} streamed != materialized",
+            )
