@@ -714,7 +714,7 @@ def sharded_solve_mbar_dd(
         predicted_next = (
             max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
         )
-        if stalled or tiny or predicted_next < 1.0e-13:
+        if stalled or tiny or predicted_next < 1.0e-14:
             converged = True
             at_noise_floor = True
             break

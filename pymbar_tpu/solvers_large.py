@@ -205,12 +205,15 @@ def solve_mbar_dd(
     it32_coarse = 0
     N_k_host = np.asarray(N_k, dtype=np.int64)
     stride = 16
+    cho = None  # the shared chord factor (subsample Gram when available)
+    N_k32 = N_k64.astype(jnp.float32)
     if u_hi.shape[1] >= 2**19 and N_k_host.min() >= 4 * stride:
         idx, N_k_sub = _strided_subsample(N_k_host, stride)
         u_sub = jnp.take(u_hi, jnp.asarray(idx), axis=1)
+        N_sub32 = jnp.asarray(N_k_sub, jnp.float32)
         f32_coarse, it32_coarse, _, _, _, _ = _adaptive_while(
             u_sub,
-            jnp.asarray(N_k_sub, jnp.float32),
+            N_sub32,
             f64.astype(jnp.float32),
             jnp.asarray(gamma, jnp.float32),
             jnp.asarray(f32_tol, jnp.float32),
@@ -223,21 +226,28 @@ def solve_mbar_dd(
         f64 = f64 - f64[0]
         it32_coarse = int(it32_coarse)
 
+        # The chord factor for BOTH the f32 refinement and the dd polish
+        # comes from the SUBSAMPLE Gram at the coarse endpoint: W columns
+        # normalize to 1 whatever the sample count, so individual weights
+        # scale as 1/N — gram_full ~ gram_sub / stride while colsums stay
+        # ~1.  Its ~0.4% statistical error matches the ~1e-2 contraction
+        # the full-plane f32 Gram delivers anyway, and it replaces two
+        # full-plane Gram passes (mbar_hessian + gram_f32_acc64, ~0.15 s
+        # at the 8 GB bench config) with one 1/16-cost pass.
+        gram_s, colsum_s = gram_f32_acc64(u_sub, N_sub32, f32_coarse)
+        cho = _newton_factor(gram_s / stride, colsum_s, N_k64)
+
     # ---- phase 1b: full-N f32 refinement.
     # From the coarse warm start a chord-Newton loop (one fused stats pass
-    # per iteration, Hessian factored once) replaces the reference adaptive
-    # loop (~7 passes per iteration evaluating both candidate steps); the
+    # per iteration, frozen factor) replaces the reference adaptive loop
+    # (~7 passes per iteration evaluating both candidate steps); the
     # adaptive loop remains the fallback if chord fails to contract (cold
     # start, ill-conditioned data).
-    N_k32 = N_k64.astype(jnp.float32)
     f32_0 = f64.astype(jnp.float32)
     done32 = False
     it32 = 0
     if it32_coarse > 0:
-        from pymbar_tpu.ops.mbar_core import mbar_hessian
-
-        H32 = mbar_hessian(u_hi, N_k32, f32_0)
-        chol32, _low = jax.scipy.linalg.cho_factor(H32[1:, 1:])
+        chol32 = cho[0].astype(jnp.float32)
         f32_out, it32, max_delta32 = _newton_while_f32(
             u_hi, N_k32, f32_0, chol32, jnp.float32(f32_tol), f32_maxiter
         )
@@ -282,13 +292,13 @@ def solve_mbar_dd(
     deltas = []
     _wsum = functools.partial(wsum_dd, fast=fast_exp) if on_tpu() else wsum_dd_ref
 
-    cho = None
     for it in range(1, polish_maxiter + 1):
         gh, gl = dd_from_f64(f64 + logN)
         Sh, Sl = _wsum(u_hi, u_lo, gh, gl)
         g64 = dd_to_f64(Sh, Sl) - N_k64
 
         if cho is None:
+            # No coarse phase ran (small N): factor from the full plane.
             gram, colsum = gram_f32_acc64(
                 u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
             )
@@ -317,7 +327,7 @@ def solve_mbar_dd(
         predicted_next = (
             max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
         )
-        if stalled or tiny or predicted_next < 1.0e-13:
+        if stalled or tiny or predicted_next < 1.0e-14:
             converged = True
             at_noise_floor = True
             break
