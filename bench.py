@@ -186,7 +186,8 @@ def tpu_solve():
 
     return dict(
         solve_s=solve_s,
-        f32_iterations=info["f32_iterations"],
+        f32_iterations="%d coarse + %d full"
+        % (info.get("f32_coarse_iterations", 0), info["f32_iterations"]),
         polish_iterations=info["polish_iterations"],
         phase1_s=round(info.get("phase1_s", 0), 3),
         phase2_s=round(info.get("phase2_s", 0), 3),

@@ -14,6 +14,8 @@ variants are provided for the reductions where explicit collectives give
 tighter control.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -580,6 +582,27 @@ def sharded_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, axis_name="n", fast=True):
     return _dd_combine_partials(sh, sl)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "maxiter", "lower", "fast"),
+)
+def _sharded_polish_while_dd(
+    u_hi_s, u_lo_s, N_k64, f0, cho_c, logN, tol, gamma,
+    mesh, axis_name, maxiter, lower, fast,
+):
+    """The n-sharded dd Newton polish as ONE device while_loop (the sharded
+    twin of :func:`pymbar_tpu.solvers_large._polish_while_dd`)."""
+    from pymbar_tpu.solvers_large import _polish_loop
+
+    def _wsum(uh, ul, gh, gl):
+        return sharded_wsum_dd(uh, ul, gh, gl, mesh, axis_name, fast=fast)
+
+    return _polish_loop(
+        _wsum, u_hi_s, u_lo_s, N_k64, f0, cho_c, lower, logN, tol, gamma,
+        maxiter,
+    )
+
+
 def sharded_solve_mbar_dd(
     u_hi,
     u_lo,
@@ -605,11 +628,7 @@ def sharded_solve_mbar_dd(
     """
     import time
 
-    from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
-    from pymbar_tpu.solvers_large import (
-        _newton_factor,
-        _newton_step_g,
-    )
+    from pymbar_tpu.solvers_large import _newton_factor
 
     if mesh is None:
         mesh = default_mesh(axis_name=axis_name)
@@ -681,46 +700,32 @@ def sharded_solve_mbar_dd(
     gram, colsum = _sharded_gram_at(f64.astype(jnp.float32))
     cho = _newton_factor(gram, colsum, N_k64)
 
-    # ---- polish: one wsum pass per device per iteration (see
-    # solvers_large.solve_mbar_dd — same structure, stopping rules and
-    # factor refresh; the per-device dd partial S_k sums merge exactly).
+    # ---- polish: one wsum pass per device per iteration, the whole loop on
+    # device (see solvers_large._polish_loop — same structure and stopping
+    # rules; the per-device dd partial S_k sums merge exactly, and no
+    # host round-trip happens between iterations).
     logN = jnp.log(N_k64)
-    gamma64 = jnp.asarray(gamma, jnp.float64)
-    deltas = []
-    converged = False
-    at_noise_floor = False
-    prev_delta = np.inf
-    g64 = None
-    it = 0
-    for it in range(1, polish_maxiter + 1):
-        gh, gl = dd_from_f64(f64 + logN)
-        Sh, Sl = sharded_wsum_dd(
-            u_hi_s, u_lo_s, gh, gl, mesh, axis_name, fast=fast_exp
-        )
-        g64 = dd_to_f64(Sh, Sl) - N_k64
-        f_new = _newton_step_g(f64, g64, cho, gamma64)
+    f64, it, g64, deltas_arr, converged, at_noise_floor = _sharded_polish_while_dd(
+        u_hi_s,
+        u_lo_s,
+        N_k64,
+        f64,
+        cho[0],
+        logN,
+        jnp.asarray(tol, jnp.float64),
+        jnp.asarray(gamma, jnp.float64),
+        mesh,
+        axis_name,
+        polish_maxiter,
+        cho[1],
+        bool(fast_exp),
+    )
+    it = int(it)
+    deltas = [float(d) for d in np.asarray(deltas_arr)[:it]]
+    converged = bool(converged)
+    at_noise_floor = bool(at_noise_floor)
 
-        f_new_np = np.asarray(f_new)
-        f_old_np = np.asarray(f64)
-        div = np.maximum(np.abs(f_new_np[1:]), 1.0)
-        max_delta = float(np.max(np.abs(f_new_np[1:] - f_old_np[1:]) / div))
-        deltas.append(max_delta)
-        f64 = f_new
-        if max_delta < tol:
-            converged = True
-            break
-        stalled = it >= 2 and max_delta < 1.0e-9 and max_delta > 0.3 * prev_delta
-        tiny = max_delta < 3.0e-13
-        predicted_next = (
-            max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
-        )
-        if stalled or tiny or predicted_next < 1.0e-14:
-            converged = True
-            at_noise_floor = True
-            break
-        prev_delta = max_delta
-
-    gnorm = float(np.linalg.norm(np.asarray(g64))) if g64 is not None else np.nan
+    gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
     return np.asarray(f64), dict(
         converged=converged,
         at_noise_floor=at_noise_floor,

@@ -5,17 +5,22 @@ The production path for K x N problems in the 10^9-element range
 planes (hi, lo) — the same 8 bytes/element as f64 — and the solve runs in
 two phases:
 
-1. **f32 phase** — the standard adaptive solver (`solvers._adaptive_while`)
-   on the hi plane alone, at full f32 speed.  Its achievable relative
-   convergence is measured with the 'mixed' metric (divide by
-   max(|f_k|, 1)) because the reference's purely relative metric never
-   settles for states with near-zero f_k.
-2. **double-word Newton polish** — a handful of Newton iterations where the
-   two hot logsumexp reductions run through the fused Pallas double-word
-   kernels (:mod:`pymbar_tpu.ops.pallas_kernels`, ~1e-13 effective
-   precision) and the K x K Hessian comes from the f32 Gram (the Newton
-   direction needs no more precision; convergence is certified on the
-   compensated gradient).
+1. **f32 phase** — for large problems, the adaptive solver
+   (`solvers._adaptive_while`) on a 1/16-strided SUBSAMPLE of the hi plane
+   (a consistent MBAR estimate ~1e-2 from the full solution at 1/16 the
+   cost), which also supplies the polish's chord factor from the subsample
+   Gram; small problems run the adaptive loop on the full hi plane.  The
+   achievable relative convergence is measured with the 'mixed' metric
+   (divide by max(|f_k|, 1)) because the reference's purely relative metric
+   never settles for states with near-zero f_k.
+2. **double-word Newton polish** — one device while_loop of chord-Newton
+   iterations, each ONE fused Pallas pass producing S_k = sum_n N_k W_nk in
+   double-word precision (:mod:`pymbar_tpu.ops.pallas_kernels`, ~1e-13
+   effective) and hence the exact gradient S_k - N_k; the frozen K x K
+   factor comes from the f32 Gram (the Newton direction needs no more
+   precision; convergence is certified on the compensated gradient).  A
+   full-plane f32 adaptive + fresh-factor retry covers the rare case where
+   the subsample factor fails to contract.
 
 This replaces XLA's f64 emulation on the hot path (measured ~5x slower than
 f32) without giving up the 1e-12-level convergence the MBAR tolerances
@@ -70,39 +75,6 @@ def _m_k_pass(u_hi, ld_hi):
 
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
-def _newton_while_f32(u_hi, N_k32, f0, chol, tol, maxiter):
-    """f32 chord-Newton loop: one fused stats pass per iteration.
-
-    The reference adaptive loop evaluates BOTH the SC and Newton candidates
-    plus their gradients (~7 K x N passes per iteration) to pick the safer
-    step; from the multilevel warm start (~1e-3 from the solution) the
-    chord-Newton step with the frozen factor ``chol`` always contracts, so
-    one core_stats pass per iteration suffices.  Returns (f, iters, delta).
-    """
-    from pymbar_tpu.ops.mbar_core import core_stats
-
-    def cond(state):
-        it, _f, _delta, done = state
-        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
-
-    def body(state):
-        it, f, _delta, _done = state
-        _obj, g, _f_sci = core_stats(u_hi, N_k32, f)
-        dx1 = jax.scipy.linalg.cho_solve((chol, False), g[1:])
-        f_new = f - jnp.concatenate([jnp.zeros((1,), f.dtype), dx1])
-        f_new = f_new - f_new[0]
-        div = jnp.maximum(jnp.abs(f_new[1:]), 1.0)
-        delta = jnp.max(jnp.abs(f_new[1:] - f[1:]) / div)
-        bad = ~jnp.isfinite(delta)
-        return it + 1, jnp.where(bad, f, f_new), delta, (delta < tol) | bad
-
-    it, f, delta, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), f0, jnp.asarray(jnp.inf, f0.dtype), False)
-    )
-    return f, it, delta
-
-
 def _newton_factor(gram, colsum, N_k64):
     """Cholesky factor of the reduced Hessian from the f32 Gram (f64 algebra).
 
@@ -136,6 +108,76 @@ def _newton_step_g(f, g, cho, gamma):
     dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
     f_new = f - gamma * dx
     return f_new - f_new[0]
+
+
+def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, maxiter):
+    """Traceable dd-polish while_loop, shared by the single-device and
+    n-sharded solvers (``wsum`` is the respective S_k = sum N_k W_nk pass).
+
+    The host version of this loop synchronized on every iteration (two
+    K-vector device->host copies plus a dispatch bubble per step — measured
+    ~45 ms/iteration against the ~66 ms kernel pass at the 8 GB bench
+    config).  Under jit only the kernel passes and the (tiny) chord-Newton
+    updates are on the timeline; the host sees one sync at the end.  Stop
+    rules are identical to the old host loop: converged (delta < tol),
+    stalled (>= 2nd iteration, delta < 1e-9 yet > 0.3 x previous), tiny
+    (delta < 3e-13), or predictive (delta^2/prev < 1e-14) — the last three
+    mark the dd noise floor (docs/numerics.md).
+
+    Returns (f, iterations, g_last, deltas[maxiter] nan-padded,
+    converged, at_noise_floor).
+    """
+
+    def cond(carry):
+        it, _f, _g, _prev, _deltas, done, _floor = carry
+        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
+
+    def body(carry):
+        it, f, _g, prev_d, deltas, _done, floor = carry
+        gh, gl = dd_from_f64(f + logN)
+        Sh, Sl = wsum(u_hi, u_lo, gh, gl)
+        g = dd_to_f64(Sh, Sl) - N_k64
+        f_new = _newton_step_g(f, g, (cho_c, lower), gamma)
+        div = jnp.maximum(jnp.abs(f_new[1:]), 1.0)
+        d = jnp.max(jnp.abs(f_new[1:] - f[1:]) / div)
+        deltas = deltas.at[it].set(d)
+
+        conv = d < tol
+        stalled = (it >= 1) & (d < 1.0e-9) & (d > 0.3 * prev_d)
+        tiny = d < 3.0e-13
+        pred = jnp.where(jnp.isfinite(prev_d), d * d / prev_d, jnp.inf)
+        at_floor = stalled | tiny | (pred < 1.0e-14)
+        return (
+            it + 1, f_new, g, d, deltas, conv | at_floor, floor | at_floor,
+        )
+
+    deltas0 = jnp.full((maxiter,), jnp.nan, dtype=jnp.float64)
+    it, f, g, _prev, deltas, done, floor = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0), f0, jnp.zeros_like(f0),
+            jnp.asarray(jnp.inf, jnp.float64), deltas0, False, False,
+        ),
+    )
+    # every stop except maxiter-exhaustion counts as converged
+    return f, it, g, deltas, done, floor
+
+
+@functools.partial(
+    jax.jit, static_argnames=("maxiter", "lower", "use_pallas", "fast")
+)
+def _polish_while_dd(
+    u_hi, u_lo, N_k64, f0, cho_c, logN, tol, gamma,
+    maxiter, lower, use_pallas, fast,
+):
+    """The single-device dd Newton polish as ONE device while_loop."""
+    _wsum = (
+        functools.partial(wsum_dd, fast=fast) if use_pallas else wsum_dd_ref
+    )
+    return _polish_loop(
+        _wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, maxiter
+    )
 
 
 
@@ -208,8 +250,15 @@ def solve_mbar_dd(
     cho = None  # the shared chord factor (subsample Gram when available)
     N_k32 = N_k64.astype(jnp.float32)
     if u_hi.shape[1] >= 2**19 and N_k_host.min() >= 4 * stride:
-        idx, N_k_sub = _strided_subsample(N_k_host, stride)
-        u_sub = jnp.take(u_hi, jnp.asarray(idx), axis=1)
+        if (N_k_host % stride == 0).all():
+            # Every state block is stride-aligned: the subsample is a plain
+            # strided slice (XLA copies it at near-memcpy rate; the general
+            # gather below runs ~3x slower on the 4 GB plane).
+            u_sub = u_hi[:, ::stride]
+            N_k_sub = N_k_host // stride
+        else:
+            idx, N_k_sub = _strided_subsample(N_k_host, stride)
+            u_sub = jnp.take(u_hi, jnp.asarray(idx), axis=1)
         N_sub32 = jnp.asarray(N_k_sub, jnp.float32)
         f32_coarse, it32_coarse, _, _, _, _ = _adaptive_while(
             u_sub,
@@ -237,28 +286,21 @@ def solve_mbar_dd(
         gram_s, colsum_s = gram_f32_acc64(u_sub, N_sub32, f32_coarse)
         cho = _newton_factor(gram_s / stride, colsum_s, N_k64)
 
-    # ---- phase 1b: full-N f32 refinement.
-    # From the coarse warm start a chord-Newton loop (one fused stats pass
-    # per iteration, frozen factor) replaces the reference adaptive loop
-    # (~7 passes per iteration evaluating both candidate steps); the
-    # adaptive loop remains the fallback if chord fails to contract (cold
-    # start, ill-conditioned data).
-    f32_0 = f64.astype(jnp.float32)
-    done32 = False
+    # ---- phase 1b (small problems only): full-N f32 adaptive.
+    # When the coarse phase ran, the dd polish starts DIRECTLY from its
+    # endpoint: a full-plane f32 core_stats pass costs nearly as much as a
+    # dd polish pass (hi plane + heavier math vs both planes), and with
+    # ~1e-2 chord contraction the coarse endpoint's ~1e-2 statistical error
+    # costs at most one extra polish iteration — strictly cheaper than any
+    # f32 refinement loop.  If the polish then fails to contract (bad
+    # subsample factor), the f32 adaptive loop runs as a fallback below.
+    done32 = bool(it32_coarse)
     it32 = 0
-    if it32_coarse > 0:
-        chol32 = cho[0].astype(jnp.float32)
-        f32_out, it32, max_delta32 = _newton_while_f32(
-            u_hi, N_k32, f32_0, chol32, jnp.float32(f32_tol), f32_maxiter
-        )
-        it32 = int(it32)
-        done32 = bool(jnp.isfinite(max_delta32) & (max_delta32 < f32_tol))
-    if not done32:
-        f_start = f32_out if it32 else f32_0
-        f32_out, it32b, sci, nr, max_delta32, done32 = _adaptive_while(
+    if not it32_coarse:
+        f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
             u_hi,
             N_k32,
-            f_start,
+            f64.astype(jnp.float32),
             jnp.asarray(gamma, jnp.float32),
             jnp.asarray(f32_tol, jnp.float32),
             f32_maxiter,
@@ -266,10 +308,11 @@ def solve_mbar_dd(
             "chol",
             "mixed",
         )
-        it32 += int(it32b)
+        it32 = int(it32)
         done32 = bool(done32)
-    f64 = f32_out.astype(jnp.float64)
-    f64 = (f64 - f64[0]).block_until_ready()
+        f64 = f32_out.astype(jnp.float64)
+        f64 = f64 - f64[0]
+    f64 = f64.block_until_ready()
     t_phase1 = time.time() - t_phase1
     t_phase2 = time.time()
 
@@ -282,58 +325,90 @@ def solve_mbar_dd(
     # improve the rate — the f32 Gram's accuracy is the limit — so no
     # refresh pass is spent).
     logN = jnp.log(N_k64)
-    gamma64 = jnp.asarray(gamma, jnp.float64)
-    it = 0
-    max_delta = np.inf
-    prev_delta = np.inf
-    converged = False
-    at_noise_floor = False
-    g64 = None
-    deltas = []
-    _wsum = functools.partial(wsum_dd, fast=fast_exp) if on_tpu() else wsum_dd_ref
-
-    for it in range(1, polish_maxiter + 1):
-        gh, gl = dd_from_f64(f64 + logN)
-        Sh, Sl = _wsum(u_hi, u_lo, gh, gl)
-        g64 = dd_to_f64(Sh, Sl) - N_k64
-
-        if cho is None:
-            # No coarse phase ran (small N): factor from the full plane.
-            gram, colsum = gram_f32_acc64(
-                u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
-            )
-            cho = _newton_factor(gram, colsum, N_k64)
-        f_new = _newton_step_g(f64, g64, cho, gamma64)
-
-        f_new_np = np.asarray(f_new)
-        f_old_np = np.asarray(f64)
-        # mixed metric (see _adaptive_metrics): absolute for small |f_k|
-        div = np.maximum(np.abs(f_new_np[1:]), 1.0)
-        max_delta = float(np.max(np.abs(f_new_np[1:] - f_old_np[1:]) / div))
-        deltas.append(max_delta)
-        f64 = f_new
-        if max_delta < tol:
-            converged = True
-            break
-        # The dd kernel's ~1e-13 relative noise in S_k bounds the reachable
-        # per-iteration delta at ~1e-13 (df ~ H^-1 g_noise ~ g_noise / N_k);
-        # once Newton stops contracting near that floor the iterate is as
-        # converged as the arithmetic allows (docs/numerics.md derivation).
-        stalled = it >= 2 and max_delta < 1.0e-9 and max_delta > 0.3 * prev_delta
-        tiny = max_delta < 3.0e-13
-        # Predictive stop: with steady contraction r = delta/prev, the next
-        # step would be ~ delta * r; below the noise floor the next kernel
-        # pass would only confirm convergence.
-        predicted_next = (
-            max_delta * max_delta / prev_delta if np.isfinite(prev_delta) else np.inf
+    if cho is None:
+        # No coarse phase ran (small N): factor from the full plane.
+        gram, colsum = gram_f32_acc64(
+            u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
         )
-        if stalled or tiny or predicted_next < 1.0e-14:
-            converged = True
-            at_noise_floor = True
-            break
-        prev_delta = max_delta
+        cho = _newton_factor(gram, colsum, N_k64)
 
-    gnorm = float(np.linalg.norm(np.asarray(g64))) if g64 is not None else np.nan
+    # The dd kernel's ~1e-13 relative noise in S_k bounds the reachable
+    # per-iteration delta at ~1e-13 (df ~ H^-1 g_noise ~ g_noise / N_k);
+    # once Newton stops contracting near that floor — stalled, tiny, or
+    # predicted-below-floor next step — the iterate is as converged as the
+    # arithmetic allows (docs/numerics.md derivation).  The whole loop runs
+    # on device (_polish_while_dd); the host syncs once, here.
+    f64, it, g64, deltas_arr, converged, at_noise_floor = _polish_while_dd(
+        u_hi,
+        u_lo,
+        N_k64,
+        f64,
+        cho[0],
+        logN,
+        jnp.asarray(tol, jnp.float64),
+        jnp.asarray(gamma, jnp.float64),
+        polish_maxiter,
+        cho[1],
+        on_tpu(),
+        bool(fast_exp),
+    )
+    it = int(it)
+    deltas = [float(d) for d in np.asarray(deltas_arr)[:it]]
+    max_delta = deltas[-1] if deltas else np.inf
+    converged = bool(converged)
+    at_noise_floor = bool(at_noise_floor)
+
+    if not converged and it32_coarse:
+        # The subsample factor failed to contract the polish (rare:
+        # ill-conditioned overlap the 1/16 subsample misrepresents).  Fall
+        # back to the reference-grade path: full-plane f32 adaptive from the
+        # current iterate, a fresh full-plane factor, and one more polish.
+        logger.info(
+            "dd polish did not converge off the subsample factor "
+            "(last delta %.2e); re-running with the full-plane factor",
+            max_delta,
+        )
+        f32_out, it32b, _sci, _nr, _d32, done32 = _adaptive_while(
+            u_hi,
+            N_k32,
+            f64.astype(jnp.float32),
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(f32_tol, jnp.float32),
+            f32_maxiter,
+            2,
+            "chol",
+            "mixed",
+        )
+        it32 = int(it32b)
+        done32 = bool(done32)
+        f64 = f32_out.astype(jnp.float64)
+        f64 = f64 - f64[0]
+        gram, colsum = gram_f32_acc64(
+            u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
+        )
+        cho = _newton_factor(gram, colsum, N_k64)
+        f64, it2, g64, deltas_arr, converged, at_noise_floor = _polish_while_dd(
+            u_hi,
+            u_lo,
+            N_k64,
+            f64,
+            cho[0],
+            logN,
+            jnp.asarray(tol, jnp.float64),
+            jnp.asarray(gamma, jnp.float64),
+            polish_maxiter,
+            cho[1],
+            on_tpu(),
+            bool(fast_exp),
+        )
+        it2 = int(it2)
+        deltas += [float(d) for d in np.asarray(deltas_arr)[:it2]]
+        it += it2
+        max_delta = deltas[-1] if deltas else np.inf
+        converged = bool(converged)
+        at_noise_floor = bool(at_noise_floor)
+
+    gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
     return np.asarray(f64), dict(
         converged=converged,
         at_noise_floor=at_noise_floor,
