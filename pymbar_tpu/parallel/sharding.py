@@ -628,6 +628,7 @@ def sharded_solve_mbar_dd(
     """
     import time
 
+    from pymbar_tpu import solvers_large as _sl
     from pymbar_tpu.solvers_large import _newton_factor
 
     if mesh is None:
@@ -640,37 +641,36 @@ def sharded_solve_mbar_dd(
 
     u_hi_s, u_lo_s, _ = shard_dd_planes(u_hi, u_lo, mesh, axis_name)
 
-    # ---- phase 1: f32 adaptive on the sharded hi plane (pad columns carry
-    # the finite sentinel; exp underflows them to exactly 0 in f32 too).
     t_phase1 = time.time()
+    N_k_host = np.asarray(N_k, dtype=np.int64)
+    N_real = int(N_k_host.sum())
     N_k32 = jnp.asarray(np.asarray(N_k), dtype=jnp.float32)
-    f = f64.astype(jnp.float32)
-    it32 = 0
-    sci_iter = 0
-    for it32 in range(1, f32_maxiter + 1):
-        f_sci, g_sci, gn_sci, f_nr, g_nr, gn_nr = sharded_adaptive_step(
-            u_hi_s, N_k32, f, jnp.float32(gamma), mesh, axis_name, nr_method="chol"
-        )
-        take_sci = bool(gn_sci < gn_nr) or sci_iter < 2
-        f_old = np.asarray(f)
-        f = f_sci if take_sci else f_nr
-        sci_iter += int(take_sci)
-        f_np = np.asarray(f)
-        div = np.maximum(np.abs(f_np[1:]), 1.0)
-        if float(np.max(np.abs(f_np[1:] - f_old[1:]) / div)) < f32_tol:
-            break
-    f64 = jnp.asarray(np.asarray(f), jnp.float64)
-    f64 = f64 - f64[0]
-    t_phase1 = time.time() - t_phase1
 
-    # ---- polish prologue: chord factor from the sharded Gram
-    t_phase2 = time.time()
+    def _f32_adaptive(u_s, Nk32_loc, f_start):
+        """Host-orchestrated f32 adaptive loop on a sharded plane."""
+        f = f_start
+        sci_iter = 0
+        its = 0
+        for its in range(1, f32_maxiter + 1):
+            f_sci, g_sci, gn_sci, f_nr, g_nr, gn_nr = sharded_adaptive_step(
+                u_s, Nk32_loc, f, jnp.float32(gamma), mesh, axis_name,
+                nr_method="chol",
+            )
+            take_sci = bool(gn_sci < gn_nr) or sci_iter < 2
+            f_old = np.asarray(f)
+            f = f_sci if take_sci else f_nr
+            sci_iter += int(take_sci)
+            f_np = np.asarray(f)
+            div = np.maximum(np.abs(f_np[1:]), 1.0)
+            if float(np.max(np.abs(f_np[1:] - f_old[1:]) / div)) < f32_tol:
+                break
+        return f, its
 
-    def _sharded_gram_at(f32_val):
+    def _sharded_gram_at(u_s, Nk32_loc, f32_val):
         def _local_gram(uh, fv):
             from pymbar_tpu.ops.mbar_core import _logden_direct
 
-            ld = _logden_direct(uh, N_k32, fv)
+            ld = _logden_direct(uh, Nk32_loc, fv)
             pad = _is_pad_col(uh)
             ld = jnp.where(pad, jnp.float32(0.0), ld)
             w = jnp.exp(fv[:, None] - uh - ld[None, :])
@@ -694,11 +694,58 @@ def sharded_solve_mbar_dd(
         g_parts, c_parts = jax.shard_map(
             _local_gram, mesh=mesh, in_specs=(P(None, axis_name), P()),
             out_specs=(P(axis_name, None, None), P(axis_name, None)),
-        )(u_hi_s, _replicated(f32_val, mesh))
+        )(u_s, _replicated(f32_val, mesh))
         return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
 
-    gram, colsum = _sharded_gram_at(f64.astype(jnp.float32))
-    cho = _newton_factor(gram, colsum, N_k64)
+    # ---- phase 1: f32 adaptive warm start (pad columns carry the finite
+    # sentinel; exp underflows them to exactly 0 in f32 too).  Large
+    # problems solve a 1/16-strided subsample of the sharded plane — a
+    # consistent MBAR estimate ~1e-2 from the full solution at 1/16 the
+    # per-pass cost — and take the polish chord factor from the subsample
+    # Gram (gram_full ~ gram_sub / ratio; see solvers_large.solve_mbar_dd).
+    # Small problems run the adaptive loop on the full plane as before.
+    cho = None
+    it32 = 0
+    it32_coarse = 0
+    stride = _sl._coarse_stride(N_k_host, K * N_real)
+    if stride:
+        from pymbar_tpu.ops.pallas_kernels import _PAD_U
+
+        sub = u_hi_s[:, ::stride]
+        pad_cols = (-sub.shape[1]) % mesh.devices.size
+        if pad_cols:
+            sub = jnp.concatenate(
+                [sub, jnp.full((K, pad_cols), _PAD_U, jnp.float32)], axis=1
+            )
+        sub = jax.device_put(sub, NamedSharding(mesh, P(None, axis_name)))
+        # per-state counts of the global stride multiples falling in each
+        # contiguous state block (plane pads sit past N_real -> masked)
+        starts = np.concatenate([[0], np.cumsum(N_k_host)])
+        ceil_div = lambda a: -(-a // stride)
+        N_k_sub = np.array(
+            [ceil_div(starts[k + 1]) - ceil_div(starts[k]) for k in range(K)],
+            dtype=np.int64,
+        )
+        N_sub32 = jnp.asarray(N_k_sub, jnp.float32)
+        f32c, it32_coarse = _f32_adaptive(sub, N_sub32, f64.astype(jnp.float32))
+        f64 = jnp.asarray(np.asarray(f32c), jnp.float64)
+        f64 = f64 - f64[0]
+        gram_s, colsum_s = _sharded_gram_at(sub, N_sub32, f32c)
+        ratio = N_real / float(N_k_sub.sum())
+        cho = _newton_factor(gram_s / ratio, colsum_s, N_k64)
+        del sub
+    else:
+        f32_out, it32 = _f32_adaptive(u_hi_s, N_k32, f64.astype(jnp.float32))
+        f64 = jnp.asarray(np.asarray(f32_out), jnp.float64)
+        f64 = f64 - f64[0]
+    t_phase1 = time.time() - t_phase1
+
+    # ---- polish prologue: chord factor from the full sharded Gram when no
+    # coarse phase supplied one
+    t_phase2 = time.time()
+    if cho is None:
+        gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
+        cho = _newton_factor(gram, colsum, N_k64)
 
     # ---- polish: one wsum pass per device per iteration, the whole loop on
     # device (see solvers_large._polish_loop — same structure and stopping
@@ -725,11 +772,44 @@ def sharded_solve_mbar_dd(
     converged = bool(converged)
     at_noise_floor = bool(at_noise_floor)
 
+    if not converged and it32_coarse:
+        # Subsample factor failed to contract the polish (rare): fall back
+        # to the full-plane f32 adaptive + fresh factor + one more polish,
+        # mirroring solvers_large.solve_mbar_dd.
+        f32_out, it32 = _f32_adaptive(u_hi_s, N_k32, f64.astype(jnp.float32))
+        f64 = jnp.asarray(np.asarray(f32_out), jnp.float64)
+        f64 = f64 - f64[0]
+        gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
+        cho = _newton_factor(gram, colsum, N_k64)
+        f64, it2, g64, deltas_arr, converged, at_noise_floor = (
+            _sharded_polish_while_dd(
+                u_hi_s,
+                u_lo_s,
+                N_k64,
+                f64,
+                cho[0],
+                logN,
+                jnp.asarray(tol, jnp.float64),
+                jnp.asarray(gamma, jnp.float64),
+                mesh,
+                axis_name,
+                polish_maxiter,
+                cho[1],
+                bool(fast_exp),
+            )
+        )
+        it2 = int(it2)
+        deltas += [float(d) for d in np.asarray(deltas_arr)[:it2]]
+        it += it2
+        converged = bool(converged)
+        at_noise_floor = bool(at_noise_floor)
+
     gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
     return np.asarray(f64), dict(
         converged=converged,
         at_noise_floor=at_noise_floor,
         f32_iterations=int(it32),
+        f32_coarse_iterations=int(it32_coarse),
         polish_iterations=it,
         deltas=deltas,
         gnorm=gnorm,

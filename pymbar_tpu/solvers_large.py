@@ -55,6 +55,25 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["solve_mbar_dd", "split_u_kn_streamed"]
 
+# Below this many K x N plane elements (~0.5 GB of hi plane) the coarse
+# strided-subsample warm start is not worth its fixed costs and the f32
+# phase runs on the full plane.  Module constant so tests can exercise the
+# coarse path on small problems.
+COARSE_MIN_ELEMS = 2**27
+
+
+def _coarse_stride(N_k_host, n_elems):
+    """Subsample stride for the coarse warm start (0 = don't).
+
+    Capped so every state keeps >= 16 subsamples — the subsample Gram must
+    remain a usable chord factor (its ~1/sqrt(n_sub) statistical error only
+    needs to beat the ~1e-2 contraction target per iteration).
+    """
+    if n_elems < COARSE_MIN_ELEMS:
+        return 0
+    stride = min(16, int(N_k_host.min()) // 16)
+    return stride if stride >= 2 else 0
+
 
 @partial(jax.jit, donate_argnums=(0,))
 def _split_inplaceish(u64):
@@ -240,16 +259,17 @@ def solve_mbar_dd(
     t_phase1 = time.time()
 
     # ---- phase 1a: multilevel warm start on a strided subsample.
-    # An MBAR solve on every 16th sample is a consistent estimate whose f_k
-    # sits ~1e-2..1e-3 from the full-N solution, at ~1/16 the per-iteration
-    # cost — the full-N adaptive phase then needs ~2-3 iterations instead
-    # of ~9.  Skipped when any state would get too few subsamples.
+    # An MBAR solve on every stride-th sample is a consistent estimate whose
+    # f_k sits ~1e-2..1e-3 from the full-N solution, at ~1/stride the
+    # per-iteration cost — and the dd polish starts directly from it.
+    # Skipped on small planes or when any state would get too few
+    # subsamples (_coarse_stride).
     it32_coarse = 0
     N_k_host = np.asarray(N_k, dtype=np.int64)
-    stride = 16
     cho = None  # the shared chord factor (subsample Gram when available)
     N_k32 = N_k64.astype(jnp.float32)
-    if u_hi.shape[1] >= 2**19 and N_k_host.min() >= 4 * stride:
+    stride = _coarse_stride(N_k_host, u_hi.size)
+    if stride:
         if (N_k_host % stride == 0).all():
             # Every state block is stride-aligned: the subsample is a plain
             # strided slice (XLA copies it at near-memcpy rate; the general

@@ -173,6 +173,36 @@ def test_sharded_solve_mbar_dd_matches_single_device():
     assert np.max(np.abs(f_shard - f_true)) < 0.1  # statistical
 
 
+def test_sharded_solve_mbar_dd_coarse_path(monkeypatch):
+    """With the coarse subsample warm start forced on, both the sharded and
+    single-device dd solvers take it (production large-N flow) and still
+    agree with each other to dd precision."""
+    from pymbar_tpu import solvers_large as sl
+    from pymbar_tpu.parallel.sharding import default_mesh, sharded_solve_mbar_dd
+    from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
+
+    monkeypatch.setattr(sl, "COARSE_MIN_ELEMS", 1024)
+    rng = np.random.default_rng(7)
+    K = 8
+    O_k = np.linspace(0.0, 2.0, K)
+    k_spring = np.linspace(1.0, 3.0, K)
+    N_k = np.full(K, 403)  # not divisible by 8 or 16: pads + gather subsample
+    x = np.concatenate(
+        [rng.normal(o, 1.0 / np.sqrt(s), n) for o, s, n in zip(O_k, k_spring, N_k)]
+    )
+    u_kn = 0.5 * k_spring[:, None] * (x[None, :] - O_k[:, None]) ** 2
+    u_kn -= u_kn.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_kn)
+
+    f_single, info_s = solve_mbar_dd(uh, ul, N_k)
+    assert info_s["f32_coarse_iterations"] > 0
+    mesh = default_mesh(8)
+    f_shard, info = sharded_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info["f32_coarse_iterations"] > 0
+    assert info["converged"]
+    assert np.max(np.abs(f_shard - f_single)) < 5e-10
+
+
 def test_mbar_class_mesh_front_door(problem):
     """MBAR(u_kn, N_k, mesh=...) on the 8-device mesh == single-device MBAR
     to 1e-10, including an empty state (solve_mbar_for_all_states

@@ -145,11 +145,27 @@ def test_strided_subsample_counts():
     assert (np.diff(idx[: counts[0]]) == 16).all()
 
 
-def test_solve_mbar_dd_multilevel_warm_start():
-    """N >= 2^19 triggers the coarse subsample phase; answer unchanged."""
-    from pymbar_tpu.ops.mbar_core import log_denominator_n
+def test_coarse_stride_policy():
+    from pymbar_tpu import solvers_large as sl
+
+    big = sl.COARSE_MIN_ELEMS
+    # small planes: no coarse phase
+    assert sl._coarse_stride(np.array([1000, 1000]), big - 1) == 0
+    # big plane, plentiful samples: full 1/16 stride
+    assert sl._coarse_stride(np.array([976 * 1024] * 4), big) == 16
+    # big plane, small min N_k: stride capped so >= 16 subsamples remain
+    assert sl._coarse_stride(np.array([64, 10000]), big) == 4
+    assert sl._coarse_stride(np.array([33, 10000]), big) == 2
+    # too few samples in some state: skip
+    assert sl._coarse_stride(np.array([31, 10000]), big) == 0
+
+
+def test_solve_mbar_dd_multilevel_warm_start(monkeypatch):
+    """Large planes trigger the coarse subsample phase; answer unchanged."""
+    from pymbar_tpu import solvers_large as sl
     from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
 
+    monkeypatch.setattr(sl, "COARSE_MIN_ELEMS", 2**21)
     rng = np.random.default_rng(21)
     K, N_per = 4, 2**17 + 11
     O_k = np.array([0.0, 1.0, 2.0, 3.0])
