@@ -584,11 +584,11 @@ def sharded_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, axis_name="n", fast=True):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "maxiter", "lower", "fast"),
+    static_argnames=("mesh", "axis_name", "maxiter", "fast"),
 )
 def _sharded_polish_while_dd(
-    u_hi_s, u_lo_s, N_k64, f0, cho_c, logN, tol, gamma,
-    mesh, axis_name, maxiter, lower, fast,
+    u_hi_s, u_lo_s, N_k64, f0, hinv, logN, tol, gamma,
+    mesh, axis_name, maxiter, fast,
 ):
     """The n-sharded dd Newton polish as ONE device while_loop (the sharded
     twin of :func:`pymbar_tpu.solvers_large._polish_while_dd`)."""
@@ -598,7 +598,7 @@ def _sharded_polish_while_dd(
         return sharded_wsum_dd(uh, ul, gh, gl, mesh, axis_name, fast=fast)
 
     return _polish_loop(
-        _wsum, u_hi_s, u_lo_s, N_k64, f0, cho_c, lower, logN, tol, gamma,
+        _wsum, u_hi_s, u_lo_s, N_k64, f0, hinv, logN, tol, gamma,
         maxiter,
     )
 
@@ -704,7 +704,7 @@ def sharded_solve_mbar_dd(
     # per-pass cost — and take the polish chord factor from the subsample
     # Gram (gram_full ~ gram_sub / ratio; see solvers_large.solve_mbar_dd).
     # Small problems run the adaptive loop on the full plane as before.
-    cho = None
+    hinv = None
     it32 = 0
     it32_coarse = 0
     stride = _sl._coarse_stride(N_k_host, K * N_real)
@@ -732,7 +732,7 @@ def sharded_solve_mbar_dd(
         f64 = f64 - f64[0]
         gram_s, colsum_s = _sharded_gram_at(sub, N_sub32, f32c)
         ratio = N_real / float(N_k_sub.sum())
-        cho = _newton_factor(gram_s / ratio, colsum_s, N_k64)
+        hinv = _newton_factor(gram_s / ratio, colsum_s, N_k64)
         del sub
     else:
         f32_out, it32 = _f32_adaptive(u_hi_s, N_k32, f64.astype(jnp.float32))
@@ -743,9 +743,9 @@ def sharded_solve_mbar_dd(
     # ---- polish prologue: chord factor from the full sharded Gram when no
     # coarse phase supplied one
     t_phase2 = time.time()
-    if cho is None:
+    if hinv is None:
         gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
-        cho = _newton_factor(gram, colsum, N_k64)
+        hinv = _newton_factor(gram, colsum, N_k64)
 
     # ---- polish: one wsum pass per device per iteration, the whole loop on
     # device (see solvers_large._polish_loop — same structure and stopping
@@ -757,14 +757,13 @@ def sharded_solve_mbar_dd(
         u_lo_s,
         N_k64,
         f64,
-        cho[0],
+        hinv,
         logN,
         jnp.asarray(tol, jnp.float64),
         jnp.asarray(gamma, jnp.float64),
         mesh,
         axis_name,
         polish_maxiter,
-        cho[1],
         bool(fast_exp),
     )
     it = int(it)
@@ -780,22 +779,21 @@ def sharded_solve_mbar_dd(
         f64 = jnp.asarray(np.asarray(f32_out), jnp.float64)
         f64 = f64 - f64[0]
         gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
-        cho = _newton_factor(gram, colsum, N_k64)
+        hinv = _newton_factor(gram, colsum, N_k64)
         f64, it2, g64, deltas_arr, converged, at_noise_floor = (
             _sharded_polish_while_dd(
                 u_hi_s,
                 u_lo_s,
                 N_k64,
                 f64,
-                cho[0],
+                hinv,
                 logN,
                 jnp.asarray(tol, jnp.float64),
                 jnp.asarray(gamma, jnp.float64),
                 mesh,
                 axis_name,
                 polish_maxiter,
-                cho[1],
-                bool(fast_exp),
+                        bool(fast_exp),
             )
         )
         it2 = int(it2)

@@ -39,16 +39,7 @@ import numpy as np
 from pymbar_tpu.config import on_tpu
 from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
 from pymbar_tpu.ops.mbar_core import gram_f32_acc64
-from pymbar_tpu.ops.pallas_kernels import (
-    logden_dd,
-    logden_dd_ref,
-    lognum_dd,
-    lognum_dd_ref,
-    lognum_fused_dd,
-    lognum_fused_dd_ref,
-    wsum_dd,
-    wsum_dd_ref,
-)
+from pymbar_tpu.ops.pallas_kernels import wsum_dd, wsum_dd_ref
 from pymbar_tpu.solvers import _adaptive_while
 
 logger = logging.getLogger(__name__)
@@ -87,49 +78,39 @@ def split_u_kn_streamed(u64):
     return _split_inplaceish(jnp.asarray(u64))
 
 
-@jax.jit
-def _m_k_pass(u_hi, ld_hi):
-    """f32 stabilizing max over n of (-logden - u) per state (one cheap pass)."""
-    return jnp.max(-ld_hi[None, :] - u_hi, axis=1)
-
-
-
 def _newton_factor(gram, colsum, N_k64):
-    """Cholesky factor of the reduced Hessian from the f32 Gram (f64 algebra).
+    """Explicit inverse of the reduced Hessian from the f32 Gram (f64 algebra).
 
-    Factored once per polish and reused across iterations (chord/frozen-
+    Computed once per polish and reused across iterations (chord/frozen-
     Newton): H moves by only ~|delta f| ~ 1e-4 relative between polish
     iterations while each iteration only needs ~1e-2 contraction, so the
-    stale factor costs nothing observable and saves a K x N Gram pass plus
-    an O(K^3) factorization per iteration.
+    stale factor costs nothing observable.  The EXPLICIT inverse (one
+    Cholesky solve against I up front) is deliberate: inside the polish
+    while_loop a triangular cho_solve is a K-step sequential recurrence —
+    latency-bound and emulated-f64 on TPU (~15 ms/iteration at K=1024) —
+    whereas Hinv @ g is a single MXU matmul.  The mild extra rounding of an
+    explicit inverse is irrelevant for a chord direction that only needs
+    1e-2 contraction.
     """
     gram = gram.astype(jnp.float64)
     colsum = colsum.astype(jnp.float64)
     H = -(gram * N_k64[None, :] * N_k64[:, None] - jnp.diag(colsum * N_k64))
     c, lower = jax.scipy.linalg.cho_factor(H[1:, 1:])
-    return c, bool(lower)
+    return jax.scipy.linalg.cho_solve(
+        (c, lower), jnp.eye(H.shape[0] - 1, dtype=jnp.float64)
+    )
 
 
-def _newton_step(f, lognum64, cho, N_k64, gamma):
-    """One f64 K-vector (chord-)Newton step from the dd lognum."""
-    g = -N_k64 * (1.0 - jnp.exp(f + lognum64))
-    dx1 = jax.scipy.linalg.cho_solve((cho[0], cho[1]), g[1:])
-    dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
-    f_new = f - gamma * dx
-    f_new = f_new - f_new[0]
-    return f_new, g
-
-
-def _newton_step_g(f, g, cho, gamma):
+def _newton_step_g(f, g, hinv, gamma):
     """One f64 K-vector chord-Newton step from the exact gradient
     g_k = S_k - N_k (the wsum form — no log/exp roundtrip)."""
-    dx1 = jax.scipy.linalg.cho_solve((cho[0], cho[1]), g[1:])
+    dx1 = hinv @ g[1:]
     dx = jnp.concatenate([jnp.zeros((1,), dtype=f.dtype), dx1])
     f_new = f - gamma * dx
     return f_new - f_new[0]
 
 
-def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, maxiter):
+def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
     """Traceable dd-polish while_loop, shared by the single-device and
     n-sharded solvers (``wsum`` is the respective S_k = sum N_k W_nk pass).
 
@@ -156,7 +137,7 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, ma
         gh, gl = dd_from_f64(f + logN)
         Sh, Sl = wsum(u_hi, u_lo, gh, gl)
         g = dd_to_f64(Sh, Sl) - N_k64
-        f_new = _newton_step_g(f, g, (cho_c, lower), gamma)
+        f_new = _newton_step_g(f, g, hinv, gamma)
         div = jnp.maximum(jnp.abs(f_new[1:]), 1.0)
         d = jnp.max(jnp.abs(f_new[1:] - f[1:]) / div)
         deltas = deltas.at[it].set(d)
@@ -184,18 +165,18 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, ma
 
 
 @functools.partial(
-    jax.jit, static_argnames=("maxiter", "lower", "use_pallas", "fast")
+    jax.jit, static_argnames=("maxiter", "use_pallas", "fast")
 )
 def _polish_while_dd(
-    u_hi, u_lo, N_k64, f0, cho_c, logN, tol, gamma,
-    maxiter, lower, use_pallas, fast,
+    u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma,
+    maxiter, use_pallas, fast,
 ):
     """The single-device dd Newton polish as ONE device while_loop."""
     _wsum = (
         functools.partial(wsum_dd, fast=fast) if use_pallas else wsum_dd_ref
     )
     return _polish_loop(
-        _wsum, u_hi, u_lo, N_k64, f0, cho_c, lower, logN, tol, gamma, maxiter
+        _wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter
     )
 
 
@@ -266,7 +247,7 @@ def solve_mbar_dd(
     # subsamples (_coarse_stride).
     it32_coarse = 0
     N_k_host = np.asarray(N_k, dtype=np.int64)
-    cho = None  # the shared chord factor (subsample Gram when available)
+    hinv = None  # the shared chord inverse (subsample Gram when available)
     N_k32 = N_k64.astype(jnp.float32)
     stride = _coarse_stride(N_k_host, u_hi.size)
     if stride:
@@ -304,7 +285,7 @@ def solve_mbar_dd(
         # full-plane Gram passes (mbar_hessian + gram_f32_acc64, ~0.15 s
         # at the 8 GB bench config) with one 1/16-cost pass.
         gram_s, colsum_s = gram_f32_acc64(u_sub, N_sub32, f32_coarse)
-        cho = _newton_factor(gram_s / stride, colsum_s, N_k64)
+        hinv = _newton_factor(gram_s / stride, colsum_s, N_k64)
 
     # ---- phase 1b (small problems only): full-N f32 adaptive.
     # When the coarse phase ran, the dd polish starts DIRECTLY from its
@@ -345,12 +326,12 @@ def solve_mbar_dd(
     # improve the rate — the f32 Gram's accuracy is the limit — so no
     # refresh pass is spent).
     logN = jnp.log(N_k64)
-    if cho is None:
+    if hinv is None:
         # No coarse phase ran (small N): factor from the full plane.
         gram, colsum = gram_f32_acc64(
             u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
         )
-        cho = _newton_factor(gram, colsum, N_k64)
+        hinv = _newton_factor(gram, colsum, N_k64)
 
     # The dd kernel's ~1e-13 relative noise in S_k bounds the reachable
     # per-iteration delta at ~1e-13 (df ~ H^-1 g_noise ~ g_noise / N_k);
@@ -363,12 +344,11 @@ def solve_mbar_dd(
         u_lo,
         N_k64,
         f64,
-        cho[0],
+        hinv,
         logN,
         jnp.asarray(tol, jnp.float64),
         jnp.asarray(gamma, jnp.float64),
         polish_maxiter,
-        cho[1],
         on_tpu(),
         bool(fast_exp),
     )
@@ -406,19 +386,18 @@ def solve_mbar_dd(
         gram, colsum = gram_f32_acc64(
             u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
         )
-        cho = _newton_factor(gram, colsum, N_k64)
+        hinv = _newton_factor(gram, colsum, N_k64)
         f64, it2, g64, deltas_arr, converged, at_noise_floor = _polish_while_dd(
             u_hi,
             u_lo,
             N_k64,
             f64,
-            cho[0],
+            hinv,
             logN,
             jnp.asarray(tol, jnp.float64),
             jnp.asarray(gamma, jnp.float64),
             polish_maxiter,
-            cho[1],
-            on_tpu(),
+                on_tpu(),
             bool(fast_exp),
         )
         it2 = int(it2)
