@@ -752,24 +752,26 @@ def sharded_solve_mbar_dd(
     # rules; the per-device dd partial S_k sums merge exactly, and no
     # host round-trip happens between iterations).
     logN = jnp.log(N_k64)
-    f64, it, g64, deltas_arr, converged, at_noise_floor = _sharded_polish_while_dd(
-        u_hi_s,
-        u_lo_s,
-        N_k64,
-        f64,
-        hinv,
-        logN,
-        jnp.asarray(tol, jnp.float64),
-        jnp.asarray(gamma, jnp.float64),
-        mesh,
-        axis_name,
-        polish_maxiter,
-        bool(fast_exp),
-    )
-    it = int(it)
-    deltas = [float(d) for d in np.asarray(deltas_arr)[:it]]
-    converged = bool(converged)
-    at_noise_floor = bool(at_noise_floor)
+
+    def _run_polish(f_start):
+        return _sl.polish_to_host(
+            _sharded_polish_while_dd(
+                u_hi_s,
+                u_lo_s,
+                N_k64,
+                f_start,
+                hinv,
+                logN,
+                jnp.asarray(tol, jnp.float64),
+                jnp.asarray(gamma, jnp.float64),
+                mesh,
+                axis_name,
+                polish_maxiter,
+                bool(fast_exp),
+            )
+        )
+
+    f64, it, g64, deltas, converged, at_noise_floor = _run_polish(f64)
 
     if not converged and it32_coarse:
         # Subsample factor failed to contract the polish (rare): fall back
@@ -780,27 +782,9 @@ def sharded_solve_mbar_dd(
         f64 = f64 - f64[0]
         gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
         hinv = _newton_factor(gram, colsum, N_k64)
-        f64, it2, g64, deltas_arr, converged, at_noise_floor = (
-            _sharded_polish_while_dd(
-                u_hi_s,
-                u_lo_s,
-                N_k64,
-                f64,
-                hinv,
-                logN,
-                jnp.asarray(tol, jnp.float64),
-                jnp.asarray(gamma, jnp.float64),
-                mesh,
-                axis_name,
-                polish_maxiter,
-                        bool(fast_exp),
-            )
-        )
-        it2 = int(it2)
-        deltas += [float(d) for d in np.asarray(deltas_arr)[:it2]]
+        f64, it2, g64, deltas2, converged, at_noise_floor = _run_polish(f64)
+        deltas += deltas2
         it += it2
-        converged = bool(converged)
-        at_noise_floor = bool(at_noise_floor)
 
     gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
     return np.asarray(f64), dict(

@@ -32,8 +32,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import functools
-
 import numpy as np
 
 from pymbar_tpu.config import on_tpu
@@ -119,10 +117,12 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
     ~45 ms/iteration against the ~66 ms kernel pass at the 8 GB bench
     config).  Under jit only the kernel passes and the (tiny) chord-Newton
     updates are on the timeline; the host sees one sync at the end.  Stop
-    rules are identical to the old host loop: converged (delta < tol),
-    stalled (>= 2nd iteration, delta < 1e-9 yet > 0.3 x previous), tiny
-    (delta < 3e-13), or predictive (delta^2/prev < 1e-14) — the last three
-    mark the dd noise floor (docs/numerics.md).
+    rules: converged (delta < tol), stalled (>= 2nd iteration, delta < 1e-9
+    yet > 0.3 x previous), tiny (delta < 3e-13), or predictive
+    (delta^2/prev < 1e-14, i.e. even the extrapolated next step would sit
+    below the floor) — the last three mark the dd noise floor
+    (docs/numerics.md); a stop that met the requested tol is NOT flagged as
+    noise-floor.
 
     Returns (f, iterations, g_last, deltas[maxiter] nan-padded,
     converged, at_noise_floor).
@@ -146,7 +146,7 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
         stalled = (it >= 1) & (d < 1.0e-9) & (d > 0.3 * prev_d)
         tiny = d < 3.0e-13
         pred = jnp.where(jnp.isfinite(prev_d), d * d / prev_d, jnp.inf)
-        at_floor = stalled | tiny | (pred < 1.0e-14)
+        at_floor = ~conv & (stalled | tiny | (pred < 1.0e-14))
         return (
             it + 1, f_new, g, d, deltas, conv | at_floor, floor | at_floor,
         )
@@ -164,7 +164,7 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
     return f, it, g, deltas, done, floor
 
 
-@functools.partial(
+@partial(
     jax.jit, static_argnames=("maxiter", "use_pallas", "fast")
 )
 def _polish_while_dd(
@@ -173,11 +173,24 @@ def _polish_while_dd(
 ):
     """The single-device dd Newton polish as ONE device while_loop."""
     _wsum = (
-        functools.partial(wsum_dd, fast=fast) if use_pallas else wsum_dd_ref
+        partial(wsum_dd, fast=fast) if use_pallas else wsum_dd_ref
     )
     return _polish_loop(
         _wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter
     )
+
+
+def polish_to_host(polish_results):
+    """Convert a jitted polish loop's results to host types.
+
+    Returns (f64, iterations, g_last, deltas list, converged, at_noise_floor)
+    — the one host sync of the polish phase.  Shared by the single-device
+    and sharded solvers (primary call and fallback retry alike).
+    """
+    f64, it, g64, deltas_arr, converged, floor = polish_results
+    it = int(it)
+    deltas = [float(d) for d in np.asarray(deltas_arr)[:it]]
+    return f64, it, g64, deltas, bool(converged), bool(floor)
 
 
 
@@ -261,7 +274,7 @@ def solve_mbar_dd(
             idx, N_k_sub = _strided_subsample(N_k_host, stride)
             u_sub = jnp.take(u_hi, jnp.asarray(idx), axis=1)
         N_sub32 = jnp.asarray(N_k_sub, jnp.float32)
-        f32_coarse, it32_coarse, _, _, _, _ = _adaptive_while(
+        f32_coarse, it32_coarse, _, _, _, done_c = _adaptive_while(
             u_sub,
             N_sub32,
             f64.astype(jnp.float32),
@@ -275,17 +288,18 @@ def solve_mbar_dd(
         f64 = f32_coarse.astype(jnp.float64)
         f64 = f64 - f64[0]
         it32_coarse = int(it32_coarse)
+        done32 = bool(done_c)
 
-        # The chord factor for BOTH the f32 refinement and the dd polish
-        # comes from the SUBSAMPLE Gram at the coarse endpoint: W columns
-        # normalize to 1 whatever the sample count, so individual weights
-        # scale as 1/N — gram_full ~ gram_sub / stride while colsums stay
-        # ~1.  Its ~0.4% statistical error matches the ~1e-2 contraction
-        # the full-plane f32 Gram delivers anyway, and it replaces two
-        # full-plane Gram passes (mbar_hessian + gram_f32_acc64, ~0.15 s
-        # at the 8 GB bench config) with one 1/16-cost pass.
+        # The dd polish's chord factor comes from the SUBSAMPLE Gram at the
+        # coarse endpoint: W columns normalize to 1 whatever the sample
+        # count, so individual weights scale as 1/N — gram_full ~
+        # gram_sub / ratio while colsums stay ~1.  Its ~1/sqrt(n_sub)
+        # statistical error matches the ~1e-2 contraction the full-plane
+        # f32 Gram delivers anyway, and it replaces a full-plane Gram pass
+        # (~0.08 s at the 8 GB bench config) with a 1/stride-cost one.
         gram_s, colsum_s = gram_f32_acc64(u_sub, N_sub32, f32_coarse)
-        hinv = _newton_factor(gram_s / stride, colsum_s, N_k64)
+        ratio = float(N_k_host.sum()) / float(N_k_sub.sum())
+        hinv = _newton_factor(gram_s / ratio, colsum_s, N_k64)
 
     # ---- phase 1b (small problems only): full-N f32 adaptive.
     # When the coarse phase ran, the dd polish starts DIRECTLY from its
@@ -295,7 +309,6 @@ def solve_mbar_dd(
     # costs at most one extra polish iteration — strictly cheaper than any
     # f32 refinement loop.  If the polish then fails to contract (bad
     # subsample factor), the f32 adaptive loop runs as a fallback below.
-    done32 = bool(it32_coarse)
     it32 = 0
     if not it32_coarse:
         f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
@@ -333,35 +346,36 @@ def solve_mbar_dd(
         )
         hinv = _newton_factor(gram, colsum, N_k64)
 
+    def _run_polish(f_start):
+        return polish_to_host(
+            _polish_while_dd(
+                u_hi,
+                u_lo,
+                N_k64,
+                f_start,
+                hinv,
+                logN,
+                jnp.asarray(tol, jnp.float64),
+                jnp.asarray(gamma, jnp.float64),
+                polish_maxiter,
+                on_tpu(),
+                bool(fast_exp),
+            )
+        )
+
     # The dd kernel's ~1e-13 relative noise in S_k bounds the reachable
     # per-iteration delta at ~1e-13 (df ~ H^-1 g_noise ~ g_noise / N_k);
     # once Newton stops contracting near that floor — stalled, tiny, or
     # predicted-below-floor next step — the iterate is as converged as the
     # arithmetic allows (docs/numerics.md derivation).  The whole loop runs
     # on device (_polish_while_dd); the host syncs once, here.
-    f64, it, g64, deltas_arr, converged, at_noise_floor = _polish_while_dd(
-        u_hi,
-        u_lo,
-        N_k64,
-        f64,
-        hinv,
-        logN,
-        jnp.asarray(tol, jnp.float64),
-        jnp.asarray(gamma, jnp.float64),
-        polish_maxiter,
-        on_tpu(),
-        bool(fast_exp),
-    )
-    it = int(it)
-    deltas = [float(d) for d in np.asarray(deltas_arr)[:it]]
+    f64, it, g64, deltas, converged, at_noise_floor = _run_polish(f64)
     max_delta = deltas[-1] if deltas else np.inf
-    converged = bool(converged)
-    at_noise_floor = bool(at_noise_floor)
 
     if not converged and it32_coarse:
         # The subsample factor failed to contract the polish (rare:
-        # ill-conditioned overlap the 1/16 subsample misrepresents).  Fall
-        # back to the reference-grade path: full-plane f32 adaptive from the
+        # ill-conditioned overlap the subsample misrepresents).  Fall back
+        # to the reference-grade path: full-plane f32 adaptive from the
         # current iterate, a fresh full-plane factor, and one more polish.
         logger.info(
             "dd polish did not converge off the subsample factor "
@@ -387,25 +401,10 @@ def solve_mbar_dd(
             u_hi, N_k64.astype(jnp.float32), f64.astype(jnp.float32)
         )
         hinv = _newton_factor(gram, colsum, N_k64)
-        f64, it2, g64, deltas_arr, converged, at_noise_floor = _polish_while_dd(
-            u_hi,
-            u_lo,
-            N_k64,
-            f64,
-            hinv,
-            logN,
-            jnp.asarray(tol, jnp.float64),
-            jnp.asarray(gamma, jnp.float64),
-            polish_maxiter,
-                on_tpu(),
-            bool(fast_exp),
-        )
-        it2 = int(it2)
-        deltas += [float(d) for d in np.asarray(deltas_arr)[:it2]]
+        f64, it2, g64, deltas2, converged, at_noise_floor = _run_polish(f64)
+        deltas += deltas2
         it += it2
         max_delta = deltas[-1] if deltas else np.inf
-        converged = bool(converged)
-        at_noise_floor = bool(at_noise_floor)
 
     gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
     return np.asarray(f64), dict(
