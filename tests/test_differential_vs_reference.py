@@ -176,6 +176,128 @@ def test_timeseries_matches_reference(ref_pymbar, seed):
     np.testing.assert_array_equal(idx1, idx2)
 
 
+@pytest.mark.parametrize("seed", [43, 53])
+def test_mbar_derived_estimators_match_reference(ref_pymbar, seed):
+    """multiple-expectations, perturbed free energies, entropy/enthalpy,
+    covariance-of-sums — the full derived-quantity surface."""
+    from pymbar_tpu import MBAR
+
+    u_kn, N_k, x_n = _random_problem(seed)
+    ours = MBAR(u_kn, N_k)
+    theirs = ref_pymbar.MBAR(u_kn, N_k)
+
+    A_in = np.vstack([x_n, x_n**2])
+    r1 = ours.compute_multiple_expectations(A_in, u_kn[0], compute_covariance=True)
+    r2 = theirs.compute_multiple_expectations(A_in, u_kn[0], compute_covariance=True)
+    np.testing.assert_allclose(r1["mu"], r2["mu"], atol=1e-6)
+    np.testing.assert_allclose(r1["sigma"], r2["sigma"], atol=1e-5)
+    np.testing.assert_allclose(r1["covariances"], r2["covariances"], atol=1e-5)
+
+    u_pert = u_kn[:3] + 0.25  # three perturbed states
+    p1 = ours.compute_perturbed_free_energies(u_pert)
+    p2 = theirs.compute_perturbed_free_energies(u_pert)
+    np.testing.assert_allclose(p1["Delta_f"], p2["Delta_f"], atol=1e-6)
+    np.testing.assert_allclose(p1["dDelta_f"], p2["dDelta_f"], atol=1e-5)
+
+    e1 = ours.compute_entropy_and_enthalpy(u_kn)
+    e2 = theirs.compute_entropy_and_enthalpy(u_kn)
+    for key in ("Delta_f", "dDelta_f", "Delta_u", "dDelta_u", "Delta_s", "dDelta_s"):
+        np.testing.assert_allclose(e1[key], e2[key], atol=2e-5, err_msg=key)
+
+
+@pytest.mark.parametrize("seed", [47])
+def test_bar_variants_match_reference(ref_pymbar, seed):
+    """All bar root-finding methods, MBAR-style uncertainty, bar_overlap,
+    exp_gauss."""
+    from pymbar_tpu import bar, bar_overlap, exp_gauss
+
+    rng = np.random.default_rng(seed)
+    w_F = rng.normal(1.5, 1.5, 300)
+    w_R = rng.normal(-0.5, 1.5, 300)
+
+    for method in ("false-position", "bisection", "self-consistent-iteration"):
+        r1 = bar(w_F, w_R, method=method)
+        r2 = ref_pymbar.other_estimators.bar(w_F, w_R, method=method)
+        assert abs(r1["Delta_f"] - r2["Delta_f"]) < 1e-7, method
+        assert abs(r1["dDelta_f"] - r2["dDelta_f"]) < 1e-6, method
+
+    r1 = bar(w_F, w_R, uncertainty_method="MBAR")
+    r2 = ref_pymbar.other_estimators.bar(w_F, w_R, uncertainty_method="MBAR")
+    assert abs(r1["dDelta_f"] - r2["dDelta_f"]) < 1e-6
+
+    assert (
+        abs(bar_overlap(w_F, w_R) - ref_pymbar.other_estimators.bar_overlap(w_F, w_R))
+        < 1e-7
+    )
+
+    g1 = exp_gauss(w_F)
+    g2 = ref_pymbar.other_estimators.exp_gauss(w_F)
+    assert abs(g1["Delta_f"] - g2["Delta_f"]) < 1e-10
+    assert abs(g1["dDelta_f"] - g2["dDelta_f"]) < 1e-10
+
+
+@pytest.mark.parametrize("seed", [59])
+def test_timeseries_multiple_and_tau_match_reference(ref_pymbar, seed):
+    from pymbar_tpu import timeseries as ours
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from pymbar import timeseries as theirs
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(seed)
+    phi = 0.8
+    sets = []
+    for _ in range(3):
+        eps = rng.normal(size=1500)
+        a = np.empty(1500)
+        a[0] = eps[0]
+        for i in range(1, 1500):
+            a[i] = phi * a[i - 1] + eps[i]
+        sets.append(a)
+
+    g1 = ours.statistical_inefficiency_multiple(sets)
+    g2 = theirs.statistical_inefficiency_multiple(sets)
+    assert abs(g1 - g2) / g2 < 1e-8
+
+    t1 = ours.integrated_autocorrelation_time(sets[0])
+    t2 = theirs.integrated_autocorrelation_time(sets[0])
+    assert abs(t1 - t2) / t2 < 1e-8
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_fes_kde_matches_reference(ref_pymbar, seed):
+    """KDE FES: our native JAX weighted KDE vs the reference's sklearn
+    KernelDensity, same bandwidth, same grid."""
+    from pymbar_tpu import FES
+
+    rng = np.random.default_rng(seed)
+    K = 6
+    centers = np.linspace(-1.0, 1.0, K)
+    spring = 10.0
+    N_per = 120
+    x_n = np.concatenate(
+        [rng.normal(c, 1.0 / np.sqrt(spring + 1.0), N_per) for c in centers]
+    )
+    N_k = np.full(K, N_per)
+    u_kn = 0.5 * spring * (x_n[None, :] - centers[:, None]) ** 2 + 0.5 * x_n[None, :] ** 2
+    u_n = 0.5 * x_n**2
+
+    kde_parameters = {"bandwidth": 0.2}
+    grid = np.linspace(-1.2, 1.2, 25)[:, None]
+
+    f1 = FES(u_kn, N_k)
+    f1.generate_fes(u_n, x_n[:, None], fes_type="kde", kde_parameters=kde_parameters)
+    r1 = f1.get_fes(grid, reference_point="from-lowest")
+
+    f2 = ref_pymbar.FES(u_kn, N_k)
+    f2.generate_fes(u_n, x_n[:, None], fes_type="kde", kde_parameters=kde_parameters)
+    r2 = f2.get_fes(grid, reference_point="from-lowest")
+
+    np.testing.assert_allclose(r1["f_i"], r2["f_i"], atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", [41])
 def test_fes_histogram_matches_reference(ref_pymbar, seed):
     """Umbrella-sampling FES: histogram free energies and uncertainties."""
