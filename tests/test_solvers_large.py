@@ -183,3 +183,50 @@ def test_solve_mbar_dd_multilevel_warm_start(monkeypatch):
     f_analytic = -0.5 * np.log(2 * np.pi / k_spring)
     f_analytic -= f_analytic[0]
     assert np.max(np.abs(np.asarray(f) - f_analytic)) < 5e-3  # statistical
+
+
+def test_solve_mbar_dd_fallback_after_failed_polish(monkeypatch):
+    """If the polish off the subsample factor reports non-convergence, the
+    solver must rerun full-plane f32 adaptive + fresh factor + polish and
+    still land on the right answer (the rare-ill-conditioning safety net,
+    forced here by failing the first polish invocation)."""
+    import jax.numpy as jnp
+
+    from pymbar_tpu import solvers_large as sl
+    from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
+
+    monkeypatch.setattr(sl, "COARSE_MIN_ELEMS", 2**12)
+    real_polish = sl._polish_while_dd
+    calls = {"n": 0}
+
+    def flaky_polish(*args, **kwargs):
+        f, it, g, deltas, converged, floor = real_polish(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return f, it, g, deltas, jnp.asarray(False), floor
+        return f, it, g, deltas, converged, floor
+
+    monkeypatch.setattr(sl, "_polish_while_dd", flaky_polish)
+
+    rng = np.random.default_rng(5)
+    K, N_per = 6, 600
+    O_k = np.linspace(0.0, 2.0, K)
+    k_spring = np.linspace(1.0, 3.0, K)
+    N_k = np.full(K, N_per)
+    x = np.concatenate(
+        [rng.normal(o, 1.0 / np.sqrt(s), n) for o, s, n in zip(O_k, k_spring, N_k)]
+    )
+    u_kn = 0.5 * k_spring[:, None] * (x[None, :] - O_k[:, None]) ** 2
+    u_kn -= u_kn.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_kn)
+
+    f, info = solve_mbar_dd(uh, ul, N_k)
+    assert calls["n"] == 2, "fallback polish must run"
+    assert info["converged"]
+    assert info["f32_iterations"] > 0, "fallback f32 adaptive must run"
+    assert info["gnorm"] < 1e-6
+
+    # and the answer equals the un-tampered solve
+    monkeypatch.setattr(sl, "_polish_while_dd", real_polish)
+    f_ref, _ = solve_mbar_dd(uh, ul, N_k)
+    assert np.max(np.abs(np.asarray(f) - np.asarray(f_ref))) < 1e-11
