@@ -359,6 +359,54 @@ def test_fes_spline_matches_reference(ref_pymbar, seed):
     np.testing.assert_allclose(r1["f_i"], r2["f_i"], atol=2e-3)
 
 
+@pytest.mark.parametrize("seed", [71])
+def test_confidenceintervals_match_reference(ref_pymbar, seed):
+    """order_replicates / anderson_darling / generate_confidence_intervals
+    on synthetic replicate dicts (the reference's validation harness)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pymbar_tpu import confidenceintervals as ours
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from pymbar import confidenceintervals as theirs
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(seed)
+    K = 5
+    n_rep = 60
+    sigma = rng.uniform(0.5, 2.0, (K, K))
+    replicates = [
+        {
+            "estimated": rng.normal(0, 1, (K, K)),
+            "destimated": sigma.copy(),
+            "error": rng.normal(0, 1, (K, K)) * sigma,
+        }
+        for _ in range(n_rep)
+    ]
+
+    def copies():
+        return [{k: v.copy() for k, v in r.items()} for r in replicates]
+
+    o1 = ours.order_replicates(copies(), K)
+    o2 = theirs.order_replicates(copies(), K)
+    np.testing.assert_allclose(o1, o2, atol=1e-12)
+
+    a1 = ours.anderson_darling(copies(), K)
+    a2 = theirs.anderson_darling(copies(), K)
+    np.testing.assert_allclose(a1, a2, atol=1e-10)
+
+    with redirect_stdout(io.StringIO()):
+        r1 = ours.generate_confidence_intervals(copies(), K)
+        r2 = theirs.generate_confidence_intervals(copies(), K)
+    # (alpha_values, Pobs, Plow, Phigh, dPobs, Pnorm)
+    assert len(r1) == len(r2) == 6
+    for ours_arr, ref_arr in zip(r1, r2):
+        np.testing.assert_allclose(ours_arr, ref_arr, atol=1e-10)
+
+
 @pytest.mark.parametrize("seed", [41])
 def test_fes_histogram_matches_reference(ref_pymbar, seed):
     """Umbrella-sampling FES: histogram free energies and uncertainties."""
