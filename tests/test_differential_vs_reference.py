@@ -85,15 +85,16 @@ def test_mbar_free_energies_match_reference(ref_pymbar, seed, empty):
     np.testing.assert_allclose(r1["dDelta_f"], r2["dDelta_f"], atol=1e-5)
 
 
+@pytest.mark.parametrize("method", ["svd", "svd-ew"])
 @pytest.mark.parametrize("seed", [5, 19])
-def test_mbar_svd_ew_uncertainty_matches_reference(ref_pymbar, seed):
+def test_mbar_svd_uncertainties_match_reference(ref_pymbar, seed, method):
     from pymbar_tpu import MBAR
 
     u_kn, N_k, _ = _random_problem(seed)
     ours = MBAR(u_kn, N_k)
     theirs = ref_pymbar.MBAR(u_kn, N_k)
-    r1 = ours.compute_free_energy_differences(uncertainty_method="svd-ew")
-    r2 = theirs.compute_free_energy_differences(uncertainty_method="svd-ew")
+    r1 = ours.compute_free_energy_differences(uncertainty_method=method)
+    r2 = theirs.compute_free_energy_differences(uncertainty_method=method)
     np.testing.assert_allclose(r1["Delta_f"], r2["Delta_f"], atol=1e-6)
     np.testing.assert_allclose(r1["dDelta_f"], r2["dDelta_f"], atol=1e-5)
 
