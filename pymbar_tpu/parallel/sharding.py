@@ -27,6 +27,7 @@ __all__ = [
     "sharded_log_denominator",
     "sharded_core_stats",
     "sharded_gram",
+    "sharded2d_gram",
     "sharded_solve_mbar",
     "shard_dd_planes",
     "sharded_fused_lognum_dd",
@@ -368,6 +369,59 @@ def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
     N_sh = jax.device_put(jnp.asarray(N_k), NamedSharding(mesh, P("k")))
     f_sh = jax.device_put(jnp.asarray(f_k), NamedSharding(mesh, P("k")))
     return fn(u_sharded, N_sh, f_sh)
+
+
+def sharded2d_gram(u_sharded, N_k, f_k, mesh):
+    """(W^T W, colsum W) on a 2-D (k, n) mesh — the chord-factor pass.
+
+    Each device forms its local W block from the psum-'k' log denominator,
+    all_gathers the k-axis blocks (transient memory K x N_local — callers
+    pass a strided SUBSAMPLE of the plane to keep this a few GB at stress
+    scale), contracts on the MXU with f64 chunk accumulation, and the
+    K x K partials psum over 'n'.  Devices along 'k' hold identical
+    gathered copies, so their stacked partials over-count by the k-extent;
+    the caller-visible result divides that out (exact: mesh extents are
+    powers of two).  Works on f32 hi planes with +PAD sentinels.
+    """
+    Dk = mesh.shape["k"]
+
+    def local(u_local, N_k_local, f_local):
+        pad_col = _is_pad_col(u_local)
+        a = f_local[:, None] - u_local  # pads: f=0, u=+PAD -> exp -> 0
+        m_loc = jnp.max(a, axis=0)
+        m = jax.lax.pmax(m_loc, "k")
+        m = jnp.where(jnp.isfinite(m) & (m > -1.0e30), m, 0.0)
+        s = jax.lax.psum(
+            jnp.sum(N_k_local[:, None] * jnp.exp(a - m[None, :]), axis=0), "k"
+        )
+        logden = jnp.log(s) + m
+        logden = jnp.where(pad_col, 0.0, logden)
+        w = jnp.exp(f_local[:, None] - u_local - logden[None, :])
+        w = jnp.where(pad_col[None, :], jnp.zeros((), w.dtype), w)
+
+        w_all = jax.lax.all_gather(w, "k", tiled=True)  # (K, N_loc)
+        K_g, N_l = w_all.shape
+        C = 8
+        n_pad = (-N_l) % C
+        if n_pad:
+            w_all = jnp.pad(w_all, ((0, 0), (0, n_pad)))
+        wc = w_all.reshape(K_g, C, -1)
+        g = jnp.einsum("kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32)
+        gram = jnp.sum(g.astype(jnp.float64), axis=0)
+        colsum = jnp.sum(w_all.astype(jnp.float64), axis=1)
+        return gram[None], colsum[None]
+
+    g_parts, c_parts = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("k", "n"), P("k"), P("k")),
+        out_specs=(P(("k", "n"), None, None), P(("k", "n"), None)),
+    )(
+        u_sharded,
+        jax.device_put(jnp.asarray(N_k), NamedSharding(mesh, P("k"))),
+        jax.device_put(jnp.asarray(f_k), NamedSharding(mesh, P("k"))),
+    )
+    return jnp.sum(g_parts, axis=0) / Dk, jnp.sum(c_parts, axis=0) / Dk
 
 
 def sharded2d_solve_mbar(
@@ -910,6 +964,25 @@ def sharded2d_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, fast=True):
     return jnp.asarray(jax.device_get(Sh)), jnp.asarray(jax.device_get(Sl))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "maxiter", "fast")
+)
+def _sharded2d_polish_while_dd(
+    u_hi_s, u_lo_s, N_k64, f0, hinv, logN, tol, gamma, mesh, maxiter, fast
+):
+    """The 2-D-mesh dd Newton polish as ONE device while_loop (pad states
+    carry N_k = 0, S_k = 0 and an identity hinv block, so their gradient
+    and step are exactly zero)."""
+    from pymbar_tpu.solvers_large import _polish_loop
+
+    def _wsum(uh, ul, gh, gl):
+        return sharded2d_wsum_dd(uh, ul, gh, gl, mesh, fast=fast)
+
+    return _polish_loop(
+        _wsum, u_hi_s, u_lo_s, N_k64, f0, hinv, logN, tol, gamma, maxiter
+    )
+
+
 def sharded2d_solve_mbar_dd(
     u_hi,
     u_lo,
@@ -926,13 +999,17 @@ def sharded2d_solve_mbar_dd(
     """Double-word MBAR solve on a 2-D (k, n) mesh: the K >= 4096 stress
     path with the same ~1e-12 story as the 1-D dd solve.
 
-    Hessian-free by design (a cross-k-block Gram would need ring
-    collectives of W slabs): phase 1 runs Anderson-accelerated f32 SC on
-    the hi plane (sharded2d_core_stats), phase 2 runs Anderson on the dd
-    SC map f -> f + ln N - ln S with S from :func:`sharded2d_wsum_dd`
-    (evaluation noise ~2e-13, so the fixed point is resolved to the same
-    floor as the 1-D path).  Caller supplies preconditioned (hi, lo)
-    planes; all states must have samples.  Returns (f_k float64, info).
+    Phase 1 runs Anderson-accelerated f32 SC on the hi plane
+    (sharded2d_core_stats).  Phase 2 is the same chord-Newton device
+    while_loop as the 1-D solvers: the frozen factor comes from
+    :func:`sharded2d_gram` on a strided subsample of the plane (the k-axis
+    all_gather of W blocks stays a few GB because of the subsampling), and
+    each iteration is one :func:`sharded2d_wsum_dd` pass (evaluation noise
+    ~2e-13, so the fixed point is resolved to the same floor as the 1-D
+    path).  The Hessian-free dd-Anderson SC iteration remains as the
+    fallback when the subsample factor fails to contract.  Caller supplies
+    preconditioned (hi, lo) planes; all states must have samples.
+    Returns (f_k float64, info).
     """
     import time
 
@@ -1012,29 +1089,82 @@ def sharded2d_solve_mbar_dd(
     f, it32, _, _, _ = _anderson(sc32, f_pad.copy(), f32_maxiter, f32_tol, None)
     t_phase1 = time.time() - t_phase1
 
-    # ---- phase 2: dd Anderson on the wsum SC map.
+    # ---- phase 2: dd chord-Newton polish as one device while_loop (same
+    # machinery as the 1-D solvers: solvers_large._polish_loop), with the
+    # old dd-Anderson SC iteration kept as fallback.
     t_phase2 = time.time()
     logN = np.where(N_pad > 0, np.log(np.where(N_pad > 0, N_pad, 1.0)), 0.0)
 
-    def sc_dd(fv):
-        gh, gl = dd_from_f64(jnp.asarray(fv + logN))
-        Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
-        S64 = np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            f_sci = fv + logN - np.log(np.where(S64 > 0, S64, 1.0))
-        f_sci[N_pad == 0] = 0.0
-        return f_sci - f_sci[0]
+    # Chord factor from a strided subsample of the plane.  Unlike the 1-D
+    # coarse phase (which solves a subsample MBAR with its own counts),
+    # the weights here keep the FULL-N normalization — logden is
+    # column-local — so BOTH gram and colsum scale by
+    # ratio = N_cols / n_sub and the factor algebra is unchanged.
+    from pymbar_tpu.ops.pallas_kernels import _PAD_U as _PAD2D
+    from pymbar_tpu.solvers_large import _newton_factor
 
-    f, itdd, max_delta, converged, at_floor = _anderson(
-        sc_dd, f, polish_maxiter, tol, 3.0e-13
+    N_cols = int(np.asarray(u_hi).shape[1])
+    stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 16))
+    Dn = mesh.shape["n"]
+    sub = u_hi_s[:, ::stride2]
+    pad_c = (-sub.shape[1]) % Dn
+    if pad_c:
+        sub = jnp.concatenate(
+            [sub, jnp.full((Kp, pad_c), _PAD2D, jnp.float32)], axis=1
+        )
+    sub = jax.device_put(sub, NamedSharding(mesh, P("k", "n")))
+    n_sub = -(-N_cols // stride2)  # real columns among the stride multiples
+    ratio = N_cols / float(n_sub)
+    gram, colsum = sharded2d_gram(sub, N_pad32, f.astype(np.float32), mesh)
+    hinv_real = _newton_factor(
+        gram[:K, :K] * ratio, colsum[:K] * ratio, jnp.asarray(N_pad[:K])
     )
-    t_phase2 = time.time() - t_phase2
+    hinv = jnp.eye(Kp - 1, dtype=jnp.float64)
+    hinv = hinv.at[: K - 1, : K - 1].set(hinv_real)
 
-    # gradient certificate from one more wsum pass
-    gh, gl = dd_from_f64(jnp.asarray(f + logN))
-    Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
-    g = np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64) - N_pad
-    g = g[:K]
+    f64j, itdd, g64, deltas_arr, converged, at_floor = _sharded2d_polish_while_dd(
+        u_hi_s,
+        u_lo_s,
+        jnp.asarray(N_pad),
+        jnp.asarray(f),
+        hinv,
+        jnp.asarray(logN),
+        jnp.asarray(tol, jnp.float64),
+        jnp.asarray(1.0, jnp.float64),
+        mesh,
+        polish_maxiter,
+        bool(fast_exp),
+    )
+    itdd = int(itdd)
+    deltas = [float(d) for d in np.asarray(deltas_arr)[:itdd]]
+    max_delta = deltas[-1] if deltas else np.inf
+    converged = bool(converged)
+    at_floor = bool(at_floor)
+    f = np.asarray(f64j)
+    g = np.asarray(g64)[:K]
+
+    if not converged:
+        # Newton off the subsample factor failed to contract (rare): fall
+        # back to the Hessian-free dd Anderson SC iteration.
+        def sc_dd(fv):
+            gh, gl = dd_from_f64(jnp.asarray(fv + logN))
+            Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
+            S64 = np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f_sci = fv + logN - np.log(np.where(S64 > 0, S64, 1.0))
+            f_sci[N_pad == 0] = 0.0
+            return f_sci - f_sci[0]
+
+        f, it2, max_delta, converged, at_floor = _anderson(
+            sc_dd, f, polish_maxiter, tol, 3.0e-13
+        )
+        itdd += int(it2)
+        # gradient certificate from one more wsum pass
+        gh, gl = dd_from_f64(jnp.asarray(f + logN))
+        Sh, Sl = sharded2d_wsum_dd(u_hi_s, u_lo_s, gh, gl, mesh, fast=fast_exp)
+        g = (np.asarray(dd_to_f64(Sh, Sl), dtype=np.float64) - N_pad)[:K]
+
+    t_phase2 = time.time() - t_phase2
 
     return f[:K], dict(
         converged=converged,
@@ -1042,6 +1172,7 @@ def sharded2d_solve_mbar_dd(
         f32_iterations=int(it32),
         polish_iterations=int(itdd),
         max_delta=max_delta,
+        deltas=deltas,
         gnorm=float(np.linalg.norm(g)),
         phase1_s=t_phase1,
         phase2_s=t_phase2,
