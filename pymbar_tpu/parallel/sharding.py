@@ -1076,12 +1076,38 @@ def sharded2d_solve_mbar_dd(
             prev_delta = max_delta
         return f, it, max_delta, converged, at_floor
 
-    # ---- phase 1: f32 Anderson SC on the hi plane.
+    # ---- subsample plane, shared by the phase-1 warm start and the chord
+    # factor.  Unlike the 1-D coarse phase (which solves a subsample MBAR
+    # with its own counts), the weights here keep the FULL-N normalization
+    # — logden is column-local — so (a) the SC map on the subsample is the
+    # full map plus a uniform +ln(stride) shift that cancels on re-pinning,
+    # and (b) gram and colsum both scale by ratio = N_cols / n_sub with
+    # the factor algebra unchanged.
+    from pymbar_tpu.ops.pallas_kernels import _PAD_U as _PAD2D
+    from pymbar_tpu.solvers_large import _newton_factor
+
+    N_cols = int(np.asarray(u_hi).shape[1])
+    stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 16))
+    if stride2 > 1:
+        Dn = mesh.shape["n"]
+        sub = u_hi_s[:, ::stride2]
+        pad_c = (-sub.shape[1]) % Dn
+        if pad_c:
+            sub = jnp.concatenate(
+                [sub, jnp.full((Kp, pad_c), _PAD2D, jnp.float32)], axis=1
+            )
+        sub = jax.device_put(sub, NamedSharding(mesh, P("k", "n")))
+    else:
+        sub = u_hi_s
+    n_sub = -(-N_cols // stride2)  # real columns among the stride multiples
+    ratio = N_cols / float(n_sub)
+
+    # ---- phase 1: f32 Anderson SC on the (subsampled) hi plane.
     t_phase1 = time.time()
 
     def sc32(fv):
         _, _, f_sci = sharded2d_core_stats(
-            u_hi_s, N_pad32, fv.astype(np.float32), mesh
+            sub, N_pad32, fv.astype(np.float32), mesh
         )
         f_sci = np.asarray(f_sci, dtype=np.float64)
         return f_sci - f_sci[0]
@@ -1095,26 +1121,6 @@ def sharded2d_solve_mbar_dd(
     t_phase2 = time.time()
     logN = np.where(N_pad > 0, np.log(np.where(N_pad > 0, N_pad, 1.0)), 0.0)
 
-    # Chord factor from a strided subsample of the plane.  Unlike the 1-D
-    # coarse phase (which solves a subsample MBAR with its own counts),
-    # the weights here keep the FULL-N normalization — logden is
-    # column-local — so BOTH gram and colsum scale by
-    # ratio = N_cols / n_sub and the factor algebra is unchanged.
-    from pymbar_tpu.ops.pallas_kernels import _PAD_U as _PAD2D
-    from pymbar_tpu.solvers_large import _newton_factor
-
-    N_cols = int(np.asarray(u_hi).shape[1])
-    stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 16))
-    Dn = mesh.shape["n"]
-    sub = u_hi_s[:, ::stride2]
-    pad_c = (-sub.shape[1]) % Dn
-    if pad_c:
-        sub = jnp.concatenate(
-            [sub, jnp.full((Kp, pad_c), _PAD2D, jnp.float32)], axis=1
-        )
-    sub = jax.device_put(sub, NamedSharding(mesh, P("k", "n")))
-    n_sub = -(-N_cols // stride2)  # real columns among the stride multiples
-    ratio = N_cols / float(n_sub)
     gram, colsum = sharded2d_gram(sub, N_pad32, f.astype(np.float32), mesh)
     hinv_real = _newton_factor(
         gram[:K, :K] * ratio, colsum[:K] * ratio, jnp.asarray(N_pad[:K])

@@ -362,3 +362,29 @@ def test_sharded_fused_lognum_matches_ref():
     lnh, lnl = sharded_fused_lognum_dd(uh_s, ul_s, gh, gl, m_k, mesh)
     got = np.asarray(lnh, np.float64) + np.asarray(lnl, np.float64)
     assert np.max(np.abs(got - ln64)) < 1e-10
+
+
+def test_sharded2d_solve_dd_subsampled_warm_start():
+    """N large enough to trigger the strided subsample (stride2 > 1) for
+    both the 2-D phase-1 SC warm start and the chord Gram; answer must
+    still match the single-device dd solve to dd precision."""
+    from pymbar_tpu.parallel.sharding import mesh_2d, sharded2d_solve_mbar_dd
+    from pymbar_tpu.solvers_large import solve_mbar_dd, split_u_kn_streamed
+
+    rng = np.random.default_rng(8)
+    K, npk = 8, 300  # N_cols = 2400 -> stride2 = clip(2400 // 256, 1, 16) = 9
+    O = np.linspace(0.0, 2.0, K)
+    Kf = np.linspace(1.0, 3.0, K)
+    x = np.concatenate(
+        [rng.normal(o, 1 / np.sqrt(s), npk) for o, s in zip(O, Kf)]
+    )
+    u_kn = 0.5 * Kf[:, None] * (x[None, :] - O[:, None]) ** 2
+    N_k = np.full(K, float(npk))
+    u_pre = u_kn - u_kn.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_pre)
+
+    f_1d, _ = solve_mbar_dd(uh, ul, N_k)
+    mesh = mesh_2d(2, 4)
+    f_2d, info = sharded2d_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info["converged"]
+    assert np.max(np.abs(f_2d - f_1d)) < 5e-10
