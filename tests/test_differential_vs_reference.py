@@ -266,6 +266,14 @@ def test_timeseries_multiple_and_tau_match_reference(ref_pymbar, seed):
     t2 = theirs.integrated_autocorrelation_time(sets[0])
     assert abs(t1 - t2) / t2 < 1e-8
 
+    c1 = ours.normalized_fluctuation_correlation_function(sets[0], N_max=60)
+    c2 = theirs.normalized_fluctuation_correlation_function(sets[0], N_max=60)
+    np.testing.assert_allclose(c1, c2, atol=1e-9)
+    # (detect_equilibration_binary_search and statistical_inefficiency_fft
+    # can't be compared: the reference versions require statsmodels, which
+    # this package drops by design — they're covered vs analytic behavior
+    # in test_timeseries.py instead.)
+
 
 @pytest.mark.parametrize("seed", [61])
 def test_fes_kde_matches_reference(ref_pymbar, seed):
