@@ -146,10 +146,11 @@ def main():
     # The histogram estimates the BIN-AVERAGED Boltzmann weight, so the
     # exact target for bin i is -ln(<exp(-F0)>_bin) (a wide bin across the
     # barrier genuinely reads lower than F0 at its center).
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
     f_true = np.empty(nbins)
     for i in range(nbins):
         xx = np.linspace(edges[i], edges[i + 1], 64)
-        f_true[i] = -np.log(np.trapezoid(np.exp(-F0(xx)), xx) / widths[i])
+        f_true[i] = -np.log(trapezoid(np.exp(-F0(xx)), xx) / widths[i])
     f_true -= f_true[np.argmin(fes_i)]
 
     print(f"\n{'x (nm)':>8} {'F (kT)':>8} {'dF':>6} {'exact':>8}")

@@ -1353,10 +1353,18 @@ class FES:
         — computed once per fit and cached (the reference re-evaluates
         every basis spline over all N samples in every f and g call)."""
         mode = self.spline_parameters["spline_weights"]
-        key = (id(x_n), id(w_n), mode)
+        # The cache holds REFERENCES to the keyed arrays (not bare id()s):
+        # CPython reuses freed addresses, so an id-only key can collide
+        # across bootstrap replicates; keeping the arrays alive makes the
+        # identity test sound.
         cache = getattr(self, "_spline_sums_cache", None)
-        if cache is not None and cache[0] == key:
-            return cache[1]
+        if (
+            cache is not None
+            and cache[0] is x_n
+            and cache[1] is w_n
+            and cache[2] == mode
+        ):
+            return cache[3]
 
         mbar = self.mbar
         K = mbar.K
@@ -1374,7 +1382,7 @@ class FES:
             S = N * (Bx @ np.asarray(w_n))
         else:
             raise ParameterError(f"Unknown spline_weights {mode}")
-        self._spline_sums_cache = (key, S)
+        self._spline_sums_cache = (x_n, w_n, mode, S)
         return S
 
     def _spline_quad_core(self, xi):

@@ -15,8 +15,10 @@ matrix is only materialized for the (host-facing, reference-parity)
 ``Log_W_nk`` attribute.
 """
 
+import functools as _functools
 import logging
 
+import jax as _jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +51,61 @@ __all__ = ["MBAR"]
 _AUG_STREAM_BYTES = 512 * 2**20
 _AUG_CHUNK_BYTES = 128 * 2**20
 
+
+@_functools.partial(_jax.jit, static_argnames=())
+def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx):
+    """One chunk of the augmented-state log-normalizer reductions (pass A of
+    _expectations_streamed).  Module-level jit: closures created per call
+    would recompile the chunk kernel on every public expectations call."""
+    from pymbar_tpu.ops.mbar_core import _logden_direct
+
+    ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
+    a_l = -ul_c - ld[None, :]  # (NL, nc)
+    m_l = jnp.max(a_l, axis=1)
+    m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
+    s_l = jnp.sum(jnp.exp(a_l - m_l_safe[:, None]), axis=1)
+    a_s = la_c + jnp.take(a_l, lidx, axis=0)  # (S, nc)
+    m_s = jnp.max(a_s, axis=1)
+    m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
+    s_s = jnp.sum(jnp.exp(a_s - m_s_safe[:, None]), axis=1)
+    return m_l, s_l, m_s, s_s
+
+
+@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype"))
+def _aug_pass_b(
+    u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
+    sentinel, K, compute_dtype,
+):
+    """One chunk of the augmented Gram + normalization aggregates (pass B of
+    _expectations_streamed); module-level jit cache, K/dtype static."""
+    from pymbar_tpu.ops.mbar_core import _logden_direct
+
+    ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
+    logw0 = f_k[:, None] - u_c - ld[None, :]
+    logwL = logC[:, None] - ul_c - ld[None, :]
+    logwS = (
+        obs_shift[:, None]
+        + la_c
+        - jnp.take(ul_c, lidx, axis=0)
+        - ld[None, :]
+    )
+    W = jnp.exp(
+        jnp.concatenate([logw0, logwL, logwS], axis=0).astype(compute_dtype)
+    )
+    gram = jnp.dot(W, W.T, preferred_element_type=compute_dtype)
+    colsum = jnp.sum(W, axis=1)
+    rowsum = jnp.dot(Nk.astype(compute_dtype), W[:K]).astype(jnp.float64)
+    bad = jnp.abs(rowsum - 1.0) > 1.0e-4
+    cnt = jnp.sum(bad)
+    lf = jnp.argmax(bad)
+    gidx = jnp.where(jnp.any(bad), base + lf, sentinel)
+    return (
+        gram.astype(jnp.float64),
+        colsum.astype(jnp.float64),
+        cnt,
+        gidx,
+        rowsum[lf],
+    )
 
 
 def _wtw_gram(W, block_bytes=2**30):
@@ -725,10 +782,7 @@ class MBAR:
         path's augmented matrix alone would be 160+ GB.  Returns
         (f_aug (msize,), Theta or None).
         """
-        import jax
-
         from pymbar_tpu.config import on_tpu
-        from pymbar_tpu.ops.mbar_core import _logden_direct
 
         K = self.K
         N = self.N
@@ -750,18 +804,8 @@ class MBAR:
         nc = max(1, int(_AUG_CHUNK_BYTES // (8 * max(K, 1))))
         starts = list(range(0, N, nc))
 
-        @jax.jit
         def pass_a(u_c, ul_c, la_c):
-            ld = _logden_direct(jnp.take(u_c, sws_dev, axis=0), Ns_dev, fs_dev)
-            a_l = -ul_c - ld[None, :]  # (NL, nc)
-            m_l = jnp.max(a_l, axis=1)
-            m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
-            s_l = jnp.sum(jnp.exp(a_l - m_l_safe[:, None]), axis=1)
-            a_s = la_c + jnp.take(a_l, lidx_dev, axis=0)  # (S, nc)
-            m_s = jnp.max(a_s, axis=1)
-            m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
-            s_s = jnp.sum(jnp.exp(a_s - m_s_safe[:, None]), axis=1)
-            return m_l, s_l, m_s, s_s
+            return _aug_pass_a(u_c, ul_c, la_c, sws_dev, Ns_dev, fs_dev, lidx_dev)
 
         def combine(m, s, m_c, s_c):
             m_new = np.maximum(m, m_c)
@@ -805,35 +849,13 @@ class MBAR:
         # observable rows: (f_sa + log C_l) + log A - u_l - logden
         obs_shift = jnp.asarray(f_sa + (log_C[l_of_s] if S > 0 else 0.0))
 
-        @jax.jit
+        sentinel = jnp.asarray(N + 1, jnp.int64)
+
         def pass_b(u_c, ul_c, la_c, base):
-            ld = _logden_direct(jnp.take(u_c, sws_dev, axis=0), Ns_dev, fs_dev)
-            logw0 = f_dev[:, None] - u_c - ld[None, :]
-            logwL = logC_dev[:, None] - ul_c - ld[None, :]
-            logwS = (
-                obs_shift[:, None]
-                + la_c
-                - jnp.take(ul_c, lidx_dev, axis=0)
-                - ld[None, :]
-            )
-            W = jnp.exp(
-                jnp.concatenate([logw0, logwL, logwS], axis=0).astype(compute_dtype)
-            )
-            gram = jnp.dot(W, W.T, preferred_element_type=compute_dtype)
-            colsum = jnp.sum(W, axis=1)
-            rowsum = jnp.dot(
-                Nk_dev.astype(compute_dtype), W[:K]
-            ).astype(jnp.float64)
-            bad = jnp.abs(rowsum - 1.0) > 1.0e-4
-            cnt = jnp.sum(bad)
-            lf = jnp.argmax(bad)
-            gidx = jnp.where(jnp.any(bad), base + lf, jnp.asarray(N + 1, jnp.int64))
-            return (
-                gram.astype(jnp.float64),
-                colsum.astype(jnp.float64),
-                cnt,
-                gidx,
-                rowsum[lf],
+            return _aug_pass_b(
+                u_c, ul_c, la_c, base, sws_dev, Ns_dev, fs_dev, f_dev,
+                logC_dev, obs_shift, lidx_dev, Nk_dev, sentinel, K,
+                compute_dtype,
             )
 
         gram = np.zeros((msize, msize))

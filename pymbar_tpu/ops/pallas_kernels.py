@@ -352,12 +352,14 @@ def _fused_polish_kernel(
     t_hi, t_e = two_sum(ld_h, m)
     ld_h, ld_l = t_hi, ld_l + t_e  # logden of the tile, (1, T) dd
 
-    # Padded sample columns (u = +PAD everywhere) produce logden ~ -PAD,
+    # Padded sample columns (u = +PAD in EVERY row) produce logden ~ -PAD,
     # which would CANCEL u in the lognum argument and leave an O(exp(-m_k))
     # phantom contribution; force their logden to +PAD so the lognum term
-    # underflows to exactly zero.  Row 0 is always an original state row and
-    # preconditioned potentials never approach the sentinel.
-    pad_col = uh[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    # underflows to exactly zero.  Detected via the column shift m =
+    # max_k (g - u): only an all-sentinel column drives it to ~ -PAD (a
+    # real sample always has u ~ 0 at its sampling state after
+    # preconditioning, even if other states assign it huge energies).
+    pad_col = m < jnp.float32(-1.0e8)
     ld_h = jnp.where(pad_col, jnp.float32(_PAD_U), ld_h)
     ld_l = jnp.where(pad_col, jnp.float32(0.0), ld_l)
 
@@ -485,10 +487,12 @@ def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
     s_hi, s_lo = _dd_tree_sum(e_hi, e_lo, axis=0)  # (1, T) denom sums
 
     r_hi, r_lo = dd_recip(s_hi, s_lo)
-    # Padded sample columns (u = +PAD everywhere) have s ~ K * exp(clamp):
+    # Padded sample columns (u = +PAD in EVERY row) have s ~ K * exp(clamp):
     # T1/s would be a phantom 1/K weight — zero their reciprocal instead.
-    # Row 0 is always an original state row.
-    pad_col = uh[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    # Detected via the shift m (~ -PAD only when ALL rows are sentinel;
+    # a real sample keeps u ~ 0 at its sampling state even when other
+    # states assign it huge energies).
+    pad_col = m < jnp.float32(-1.0e8)
     r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
     r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
 
@@ -595,7 +599,8 @@ def wsum_dd_ref(u_hi, u_lo, g_hi, g_lo):
     m = jnp.max(a, axis=0, keepdims=True)
     s = jnp.sum(jnp.exp(a - m), axis=0, keepdims=True)
     w = jnp.exp(a - m) / s
-    pad_col = u_hi[0:1, :] >= jnp.float32(0.5 * _PAD_U)
+    # all-sentinel detection via the shift, matching the kernel mask
+    pad_col = m < -1.0e8
     w = jnp.where(pad_col, 0.0, w)
     S64 = jnp.sum(w, axis=1)
     sh = S64.astype(jnp.float32)
@@ -846,7 +851,10 @@ def lognum_fused_dd_ref(u_hi, u_lo, g_hi, g_lo, m_k, return_sums=False):
     contribute exactly zero, matching the Pallas kernel's column mask.
     """
     ldh, ldl = logden_dd_ref(u_hi, u_lo, g_hi, g_lo)
-    pad_col = u_hi[0, :] >= jnp.float32(0.5 * _PAD_U)
+    # all-sentinel detection via the column shift (a real sample keeps
+    # u ~ 0 at its sampling state even if other states assign it huge u)
+    m = jnp.max(g_hi[:, None] - u_hi, axis=0)
+    pad_col = m < jnp.float32(-1.0e8)
     ldh = jnp.where(pad_col, jnp.float32(_PAD_U), ldh)
     ldl = jnp.where(pad_col, jnp.float32(0.0), ldl)
     if return_sums:

@@ -76,10 +76,15 @@ def _is_pad_col(u_local):
 
     Double-word planes cannot carry ±inf (error-free transforms would turn
     them into NaN), so the dd layout pads with 1e10 sentinels; both kinds
-    must be masked out of every sharded reduction.
+    must be masked out of every sharded reduction.  A column is padding
+    only when EVERY row carries the sentinel (tested via the column min) —
+    a real sample keeps u ~ 0 at its sampling state after preconditioning
+    even when some other state assigns it a huge (clash-level) energy.
     """
-    row = u_local[0, :]
-    return jnp.logical_or(~jnp.isfinite(row), row >= jnp.asarray(5.0e9, row.dtype))
+    col_min = jnp.min(u_local, axis=0)
+    return jnp.logical_or(
+        ~jnp.isfinite(col_min), col_min >= jnp.asarray(5.0e9, col_min.dtype)
+    )
 
 
 def sharded_log_denominator(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
@@ -371,6 +376,23 @@ def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
     return fn(u_sharded, N_sh, f_sh)
 
 
+def _chunked_w_gram(w):
+    """(W W^T, rowsum W) of a local f32 weight slab: f32 MXU matmuls with
+    f64 chunk accumulation.  A fori-loop carry does not compose with
+    shard_map's varying axes, so the chunking is by reshape; shared by the
+    1-D and 2-D sharded Gram passes."""
+    K_l, N_l = w.shape
+    C = 8
+    n_pad = (-N_l) % C
+    if n_pad:
+        w = jnp.pad(w, ((0, 0), (0, n_pad)))
+    wc = w.reshape(K_l, C, -1)
+    g = jnp.einsum("kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32)
+    gram = jnp.sum(g.astype(jnp.float64), axis=0)
+    colsum = jnp.sum(w.astype(jnp.float64), axis=1)
+    return gram, colsum
+
+
 def sharded2d_gram(u_sharded, N_k, f_k, mesh):
     """(W^T W, colsum W) on a 2-D (k, n) mesh — the chord-factor pass.
 
@@ -400,15 +422,7 @@ def sharded2d_gram(u_sharded, N_k, f_k, mesh):
         w = jnp.where(pad_col[None, :], jnp.zeros((), w.dtype), w)
 
         w_all = jax.lax.all_gather(w, "k", tiled=True)  # (K, N_loc)
-        K_g, N_l = w_all.shape
-        C = 8
-        n_pad = (-N_l) % C
-        if n_pad:
-            w_all = jnp.pad(w_all, ((0, 0), (0, n_pad)))
-        wc = w_all.reshape(K_g, C, -1)
-        g = jnp.einsum("kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32)
-        gram = jnp.sum(g.astype(jnp.float64), axis=0)
-        colsum = jnp.sum(w_all.astype(jnp.float64), axis=1)
+        gram, colsum = _chunked_w_gram(w_all)
         return gram[None], colsum[None]
 
     g_parts, c_parts = jax.shard_map(
@@ -729,20 +743,7 @@ def sharded_solve_mbar_dd(
             ld = jnp.where(pad, jnp.float32(0.0), ld)
             w = jnp.exp(fv[:, None] - uh - ld[None, :])
             w = jnp.where(pad[None, :], jnp.float32(0.0), w)
-            # chunked f32 matmuls, f64 chunk accumulation (a fori-loop carry
-            # does not compose with shard_map's varying axes, so chunk by
-            # reshape)
-            K_l, N_l = w.shape
-            C = 8
-            n_pad = (-N_l) % C
-            if n_pad:
-                w = jnp.pad(w, ((0, 0), (0, n_pad)))
-            wc = w.reshape(K_l, C, -1)
-            g = jnp.einsum(
-                "kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32
-            )
-            gram = jnp.sum(g.astype(jnp.float64), axis=0)
-            colsum = jnp.sum(w.astype(jnp.float64), axis=1)
+            gram, colsum = _chunked_w_gram(w)
             return gram[None], colsum[None]
 
         g_parts, c_parts = jax.shard_map(
@@ -1211,8 +1212,11 @@ def sharded_solve_mbar_for_all_states(
     u_sub = u_kn[sws]
     # Per-sample shift (the MBAR equations are invariant under column
     # shifts) so the dd split sees small, cancellation-friendly values.
-    u_pre = u_sub - u_sub.min(axis=0, keepdims=True)
-    uh, ul = split_u_kn_streamed(u_pre)
+    # In place: u_sub is already a private fancy-index copy, and a second
+    # K x N temporary would triple transient host memory at the 1e7-sample
+    # target this front door exists for.
+    u_sub -= u_sub.min(axis=0, keepdims=True)
+    uh, ul = split_u_kn_streamed(u_sub)
     f_sub, info = sharded_solve_mbar_dd(
         uh, ul, N_k[sws], f_k=f_k[sws] - f_k[sws][0], mesh=mesh, tol=tol,
         axis_name=axis_name,

@@ -129,11 +129,11 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
     """
 
     def cond(carry):
-        it, _f, _g, _prev, _deltas, done, _floor = carry
+        it, _f, _g, _prev, _deltas, done, _floor, _bad = carry
         return jnp.logical_and(it < maxiter, jnp.logical_not(done))
 
     def body(carry):
-        it, f, _g, prev_d, deltas, _done, floor = carry
+        it, f, _g, prev_d, deltas, _done, floor, _bad = carry
         gh, gl = dd_from_f64(f + logN)
         Sh, Sl = wsum(u_hi, u_lo, gh, gl)
         g = dd_to_f64(Sh, Sl) - N_k64
@@ -142,26 +142,31 @@ def _polish_loop(wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter):
         d = jnp.max(jnp.abs(f_new[1:] - f[1:]) / div)
         deltas = deltas.at[it].set(d)
 
+        # A non-finite step (e.g. a NaN factor from a non-PD subsample
+        # Gram) stops immediately WITHOUT taking the step, so the caller's
+        # fallback restarts from the last finite iterate.
+        bad = ~jnp.isfinite(d)
         conv = d < tol
         stalled = (it >= 1) & (d < 1.0e-9) & (d > 0.3 * prev_d)
         tiny = d < 3.0e-13
         pred = jnp.where(jnp.isfinite(prev_d), d * d / prev_d, jnp.inf)
         at_floor = ~conv & (stalled | tiny | (pred < 1.0e-14))
         return (
-            it + 1, f_new, g, d, deltas, conv | at_floor, floor | at_floor,
+            it + 1, jnp.where(bad, f, f_new), g, d, deltas,
+            conv | at_floor | bad, floor | at_floor, bad,
         )
 
     deltas0 = jnp.full((maxiter,), jnp.nan, dtype=jnp.float64)
-    it, f, g, _prev, deltas, done, floor = jax.lax.while_loop(
+    it, f, g, _prev, deltas, done, floor, bad = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.int32(0), f0, jnp.zeros_like(f0),
-            jnp.asarray(jnp.inf, jnp.float64), deltas0, False, False,
+            jnp.asarray(jnp.inf, jnp.float64), deltas0, False, False, False,
         ),
     )
-    # every stop except maxiter-exhaustion counts as converged
-    return f, it, g, deltas, done, floor
+    # every stop except maxiter-exhaustion or a non-finite step converged
+    return f, it, g, deltas, done & ~bad, floor
 
 
 @partial(

@@ -388,3 +388,26 @@ def test_sharded2d_solve_dd_subsampled_warm_start():
     f_2d, info = sharded2d_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
     assert info["converged"]
     assert np.max(np.abs(f_2d - f_1d)) < 5e-10
+
+
+def test_sharded_reductions_keep_high_energy_real_samples():
+    """_is_pad_col must only flag ALL-row sentinels: a real sample with one
+    clash-level row (u[0] huge) keeps its contributions in every sharded
+    reduction (old row-0 test dropped it)."""
+    rng = np.random.default_rng(12)
+    K, N = 4, 160
+    u_kn = rng.uniform(0.0, 5.0, (K, N))
+    u_kn -= u_kn.min(axis=0, keepdims=True)
+    u_kn[0, 7] = 1.0e12  # clash under state 0 only (f64 path)
+    N_k = np.full(K, N / K)
+    f_k = np.array([0.0, 0.1, -0.2, 0.3])
+
+    mesh = default_mesh(8)
+    u_sharded, _ = shard_u_kn(u_kn, mesh)
+    obj_s, g_s, fs_s = sharded_core_stats(u_sharded, N_k, f_k, mesh)
+    obj_1, g_1, fs_1 = core_stats(
+        jnp.asarray(u_kn), jnp.asarray(N_k), jnp.asarray(f_k)
+    )
+    assert_allclose(float(obj_s), float(obj_1), rtol=1e-12)
+    assert_allclose(np.asarray(g_s), np.asarray(g_1), rtol=1e-10, atol=1e-10)
+    assert_allclose(np.asarray(fs_s), np.asarray(fs_1), rtol=1e-12)

@@ -230,3 +230,34 @@ def test_solve_mbar_dd_fallback_after_failed_polish(monkeypatch):
     monkeypatch.setattr(sl, "_polish_while_dd", real_polish)
     f_ref, _ = solve_mbar_dd(uh, ul, N_k)
     assert np.max(np.abs(np.asarray(f) - np.asarray(f_ref))) < 1e-11
+
+
+def test_wsum_keeps_high_energy_real_samples():
+    """A real sample that one state assigns clash-level energy (>= the
+    sentinel threshold in a single row) must still contribute its weight to
+    the other states — only ALL-row sentinels are padding (the old row-0
+    test silently dropped such samples from every S_k)."""
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd_ref
+
+    rng = np.random.default_rng(11)
+    K, N = 3, 64
+    u = rng.uniform(0.0, 5.0, (K, N))
+    u -= u.min(axis=0, keepdims=True)  # preconditioned: col-min 0
+    u[0, 5] = 6.0e9  # state 0 sees a steric clash for sample 5
+    u[1, 5] = 0.0
+    u[2, 5] = 1.3
+    f = np.array([0.0, 0.1, -0.2])
+    N_k = np.full(K, N / K)
+    g = f + np.log(N_k)
+
+    uh, ul = dd_from_f64(jnp.asarray(u))
+    gh, gl = dd_from_f64(jnp.asarray(g))
+    S = np.asarray(dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl)))
+
+    # f64 ground truth: sample 5 weights ~ exp(g - u) normalized
+    a = g[:, None] - u
+    w = np.exp(a - a.max(axis=0)) / np.exp(a - a.max(axis=0)).sum(axis=0)
+    S_true = w.sum(axis=1)
+    assert np.max(np.abs(S - S_true)) < 1e-10
+    # and the clash sample's weight went to states 1 and 2, not nowhere
+    assert w[1:, 5].sum() > 0.99
