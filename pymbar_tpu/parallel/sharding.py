@@ -71,17 +71,29 @@ def _replicated(x, mesh):
     return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
 
 
-def _is_pad_col(u_local):
+def _is_pad_col(u_local, k_axis=None):
     """Pad-column mask: +inf pads (f64 path) or finite +PAD dd sentinels.
 
-    Double-word planes cannot carry ±inf (error-free transforms would turn
-    them into NaN), so the dd layout pads with 1e10 sentinels; both kinds
-    must be masked out of every sharded reduction.  A column is padding
-    only when EVERY row carries the sentinel (tested via the column min) —
-    a real sample keeps u ~ 0 at its sampling state after preconditioning
-    even when some other state assigns it a huge (clash-level) energy.
+    A column is padding only when EVERY row carries the sentinel (tested
+    via the column min; pass ``k_axis`` inside a 2-D shard_map so the min
+    spans ALL k-blocks, not just the local one).  The rule is
+    dtype-dependent:
+
+    * f64 inputs are the raw user paths, padded with +inf and NOT
+      preconditioned — only a whole-column +inf is padding.  A column that
+      is merely huge in every state (an all-state clash) is kept, and a
+      NaN anywhere propagates loudly instead of silently dropping the
+      sample (matching the unsharded reductions).
+    * f32 inputs are double-word hi planes: finite ~1e10 sentinels (dd
+      error-free transforms cannot carry ±inf) on per-column-min
+      preconditioned potentials, so real columns sit at col_min ~ 0 and
+      the 5e9 threshold is unambiguous.
     """
     col_min = jnp.min(u_local, axis=0)
+    if k_axis is not None:
+        col_min = jax.lax.pmin(col_min, k_axis)
+    if u_local.dtype == jnp.float64:
+        return col_min == jnp.inf
     return jnp.logical_or(
         ~jnp.isfinite(col_min), col_min >= jnp.asarray(5.0e9, col_min.dtype)
     )
@@ -330,7 +342,7 @@ def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
     """
 
     def local(u_local, N_k_local, f_local):
-        pad_col = _is_pad_col(u_local)
+        pad_col = _is_pad_col(u_local, k_axis="k")
 
         # --- log denominator: partial over the local k-block, then 'k'
         a = f_local[:, None] - u_local
@@ -408,7 +420,7 @@ def sharded2d_gram(u_sharded, N_k, f_k, mesh):
     Dk = mesh.shape["k"]
 
     def local(u_local, N_k_local, f_local):
-        pad_col = _is_pad_col(u_local)
+        pad_col = _is_pad_col(u_local, k_axis="k")
         a = f_local[:, None] - u_local  # pads: f=0, u=+PAD -> exp -> 0
         m_loc = jnp.max(a, axis=0)
         m = jax.lax.pmax(m_loc, "k")

@@ -399,6 +399,9 @@ def test_sharded_reductions_keep_high_energy_real_samples():
     u_kn = rng.uniform(0.0, 5.0, (K, N))
     u_kn -= u_kn.min(axis=0, keepdims=True)
     u_kn[0, 7] = 1.0e12  # clash under state 0 only (f64 path)
+    u_kn[:, 11] = 6.0e9 + rng.uniform(0, 1, K)  # clash under EVERY state:
+    # huge but finite in f64 — must match the unsharded reductions, not be
+    # silently classified as padding
     N_k = np.full(K, N / K)
     f_k = np.array([0.0, 0.1, -0.2, 0.3])
 
