@@ -50,11 +50,42 @@ class FES:
     """
 
     def __init__(self, u_kn, N_k, verbose=False, mbar_options=None, timings=True, **kwargs):
-        """Build the internal MBAR object over the sampled states.
+        """Prepare a free-energy-surface estimator over the sampled states.
 
-        ``mbar_options`` passes through maximum_iterations, relative_tolerance,
-        verbose, initial_f_k, solver_protocol, initialize, x_kindices
-        (reference fes.py:74-210).
+        Builds an internal :class:`pymbar_tpu.MBAR` whose weights unbias the
+        samples; :meth:`generate_fes` then fits a surface over any
+        collective variable.
+
+        Parameters
+        ----------
+        u_kn : np.ndarray, float, shape (K, N) or (K, K, N_max)
+            Reduced potential of each sample in each sampled (biased) state.
+        N_k : np.ndarray, int, shape (K,)
+            Samples per state.
+        verbose : bool, optional, default False
+        mbar_options : dict, optional
+            Passed through to the internal MBAR: ``maximum_iterations``,
+            ``relative_tolerance``, ``verbose``, ``initial_f_k``,
+            ``solver_protocol``, ``initialize``, ``x_kindices``.
+        timings : bool, optional, default True
+            Return wall-time in :meth:`generate_fes`'s result dict.
+
+        Notes
+        -----
+        Reference: ``pymbar.FES.__init__``
+        (/root/reference/pymbar/fes.py:74-210).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import FES
+        >>> rng = np.random.default_rng(0)
+        >>> K_bias, centers = 25.0, np.linspace(0.0, 1.0, 5)
+        >>> x_kn = centers[:, None] + rng.normal(0, 0.2, (5, 200))
+        >>> u_kn = 0.5 * K_bias * (x_kn.reshape(-1)[None, :] - centers[:, None]) ** 2
+        >>> fes = FES(u_kn, np.full(5, 200))
+        >>> fes.mbar.f_k.shape
+        (5,)
         """
         for key, val in kwargs.items():
             logger.warning(f"Warning: parameter {key}={val} is unrecognized and unused.")
@@ -119,7 +150,6 @@ class FES:
         self.u_n = None
         self.n_bootstraps = 0
         self.w_n = None
-        self.w_kn = None
         self.fes_function = None
         self.fes_functions = None
         self.histogram_data = None
@@ -134,6 +164,17 @@ class FES:
 
         if self.verbose:
             logger.info("FES initialized")
+
+    @property
+    def w_kn(self):
+        """The N x K MBAR weight matrix (reference fes.py attribute parity).
+
+        Computed on access from the internal MBAR's lazy ``Log_W_nk`` — an
+        eager copy here would force the N x K materialization (plus a
+        device-to-host transfer) on every ``generate_fes`` call even for
+        KDE/spline fits that never read it.
+        """
+        return np.exp(self.mbar.Log_W_nk)
 
     # -------------------------------------------------------------------------
     # Generation
@@ -150,11 +191,63 @@ class FES:
         n_bootstraps=0,
         seed=-1,
     ):
-        """Fit the FES of the state whose reduced potential per sample is u_n.
+        """Fit a free energy surface at the target (unbiased) state.
 
-        fes_type in {'histogram', 'kde', 'spline'}; n_bootstraps must be 0 or
-        >= 2; returns {'timing': seconds} when timings were requested
-        (reference fes.py:221-438).
+        Parameters
+        ----------
+        u_n : np.ndarray, shape (N,) or (K, N_max)
+            Reduced potential of every sample in the TARGET state the
+            surface is wanted for (often the unbiased Hamiltonian).
+        x_n : np.ndarray, shape (N,) or (N, D)
+            The collective-variable value of each sample.
+        fes_type : {'histogram', 'kde', 'spline'}, optional
+            Estimator family.  'histogram' bins the unbiased weights
+            (D-dimensional), 'kde' fits a weighted Gaussian kernel density,
+            'spline' maximizes the continuous-FES likelihood over a
+            B-spline basis (1-D).
+        histogram_parameters : dict, optional
+            ``{'bin_edges': [edges_d ...]}`` — bin edges per dimension.
+        kde_parameters : dict, optional
+            sklearn ``KernelDensity``-style surface: ``bandwidth`` etc.
+        spline_parameters : dict, optional
+            ``spline_weights`` ('biasedstates'/'unbiasedstate'/'simplesum'),
+            ``objective`` ('ml'/'map' + logprior/dlogprior/ddlogprior),
+            ``optimization_algorithm``, ``nspline``, ``kdegree``,
+            ``fes_reference``, initialization controls.
+        n_bootstraps : int, optional, default 0
+            0 or >= 2; replicate MBAR re-solves power bootstrap
+            uncertainties in :meth:`get_fes`.
+        seed : int, optional, default -1
+            Seeds ``np.random`` when >= 0 (bootstrap reproducibility).
+
+        Returns
+        -------
+        dict
+            ``{'timing': seconds}`` when the estimator was built with
+            ``timings=True``.
+
+        Notes
+        -----
+        Reference: ``pymbar.FES.generate_fes``
+        (/root/reference/pymbar/fes.py:221-438); bootstrap replicates solve
+        batched on TPU, and the reference's mis-indented bootstrap loop bug
+        is fixed.
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import FES
+        >>> rng = np.random.default_rng(0)
+        >>> K_bias, centers = 25.0, np.linspace(0.0, 1.0, 5)
+        >>> x_kn = centers[:, None] + rng.normal(0, 0.2, (5, 200))
+        >>> x_n = x_kn.reshape(-1)
+        >>> u_kn = 0.5 * K_bias * (x_n[None, :] - centers[:, None]) ** 2
+        >>> fes = FES(u_kn, np.full(5, 200), timings=False)
+        >>> _ = fes.generate_fes(np.zeros_like(x_n), x_n, fes_type="histogram",
+        ...     histogram_parameters=dict(bin_edges=[np.linspace(-0.5, 1.5, 11)]))
+        >>> out = fes.get_fes(np.array([0.25, 0.75]), reference_point="from-lowest")
+        >>> out["f_i"].shape
+        (2,)
         """
         result_vals = dict()
         self.fes_type = fes_type
@@ -259,9 +352,6 @@ class FES:
 
             if b == 0:
                 self.w_n = w_nb
-                # The N x K weight matrix is only kept for the b = 0 fit
-                # (bootstrap replicates never read it).
-                self.w_kn = np.exp(self.mbar.Log_W_nk)
 
             if fes_type == "histogram":
                 self._generate_fes_histogram(b, x_nb, w_nb, log_w_nb)
@@ -738,7 +828,22 @@ class FES:
         )
 
     def get_information_criteria(self, type="akaike"):
-        """AIC/BIC of the fitted spline model (reference fes.py:1136-1165)."""
+        """Information criterion of the fitted spline model.
+
+        Parameters
+        ----------
+        type : {'akaike', 'AIC', 'bayesian', 'BIC'}, optional
+
+        Returns
+        -------
+        float
+            The requested criterion (stored at spline fit time).
+
+        Notes
+        -----
+        Reference: ``pymbar.FES.get_information_criteria``
+        (/root/reference/pymbar/fes.py:1136-1165).
+        """
         if self.fes_type != "spline":
             raise ParameterError(
                 "Information criteria currently only defined for spline "
@@ -757,10 +862,37 @@ class FES:
     def get_fes(
         self, x, reference_point="from-lowest", fes_reference=None, uncertainty_method=None
     ):
-        """FES values (and uncertainties) at query points x.
+        """Evaluate the fitted free energy surface at query points.
 
-        Returns dict with 'f_i' (+ 'df_i' when uncertainty_method given);
-        see reference fes.py:1167-1231 for reference_point semantics.
+        Parameters
+        ----------
+        x : np.ndarray, shape (M,) or (M, D)
+            Query points in collective-variable space.
+        reference_point : str, optional, default 'from-lowest'
+            Zero of the surface: 'from-lowest' (minimum over the queried
+            values), 'from-specified' (the point given in
+            ``fes_reference``), 'from-normalization' (int exp(-F) = 1;
+            KDE/spline only), or 'all-differences' (histogram analytical
+            mode: return pairwise difference matrices instead).
+        fes_reference : array_like, optional
+            The reference point for 'from-specified'.
+        uncertainty_method : {None, 'analytical', 'bootstrap'}, optional
+            'analytical' augments the weight matrix per histogram bin and
+            propagates the asymptotic covariance (histogram only);
+            'bootstrap' uses the replicate fits from ``generate_fes``.
+
+        Returns
+        -------
+        dict
+            ``'f_i'`` : (M,) surface values (NaN outside the fitted
+            domain); ``'df_i'`` : (M,) uncertainties when requested; in
+            'all-differences' mode ``'df_ij'`` matrices instead.
+
+        Notes
+        -----
+        Reference: ``pymbar.FES.get_fes``
+        (/root/reference/pymbar/fes.py:1167-1231); the reference's broken
+        'all-differences' covariance indexing (fes.py:1487) is fixed here.
         """
         x = np.array(x)
         if len(np.shape(x)) <= 1:
@@ -781,13 +913,36 @@ class FES:
         raise ParameterError(f"fes_type {self.fes_type} is not supported")
 
     def get_mbar(self):
-        """The internal MBAR object."""
+        """The internal :class:`pymbar_tpu.MBAR` object.
+
+        Returns
+        -------
+        MBAR
+            The estimator built over the biased states at construction.
+
+        Raises
+        ------
+        DataError
+            If the internal MBAR was never initialized.
+        """
         if self.mbar is not None:
             return self.mbar
         raise DataError("MBAR in the FES object is not initialized, cannot return it.")
 
     def get_kde(self):
-        """The fitted KDE object (fes_type == 'kde' only)."""
+        """The fitted weighted kernel-density object (KDE surfaces only).
+
+        Returns
+        -------
+        pymbar_tpu.kde.GaussianKDE
+            The sklearn-``KernelDensity``-surface object fitted by
+            :meth:`generate_fes`.
+
+        Raises
+        ------
+        ParameterError
+            If no KDE has been fitted or ``fes_type != 'kde'``.
+        """
         if self.fes_type == "kde":
             if self.kde is not None:
                 return self.kde
@@ -1069,9 +1224,28 @@ class FES:
     def sample_parameter_distribution(self, x_n, mc_parameters=None, decorrelate=True, verbose=True):
         """Metropolis sampling of the spline-coefficient posterior.
 
-        One coefficient perturbed per step; the spline is renormalized
-        (int exp(-F) = 1) after every move; the chain is optionally
-        decorrelated with the timeseries tools (reference fes.py:1696-1857).
+        One coefficient is perturbed per step; the spline is renormalized
+        (``int exp(-F) = 1``) after every move; the accepted chain is
+        optionally decorrelated with the timeseries tools.  Results are
+        stored for :meth:`get_confidence_intervals` / :meth:`get_mc_data`.
+
+        Parameters
+        ----------
+        x_n : np.ndarray, shape (N,)
+            The samples' collective-variable values (as in generate_fes).
+        mc_parameters : dict, optional
+            ``niterations`` (default 5000), ``fraction_change`` (step size,
+            0.01), ``sample_every`` (50), ``logprior`` / ``dlogprior``
+            (callables; flat prior by default), ``print_every``.
+        decorrelate : bool, optional, default True
+            Subsample the chain at its statistical inefficiency.
+        verbose : bool, optional, default True
+
+        Notes
+        -----
+        Spline surfaces only.  Reference:
+        ``pymbar.FES.sample_parameter_distribution``
+        (/root/reference/pymbar/fes.py:1696-1857).
         """
         if self.fes_type != "spline":
             raise ParameterError("Sampling of posterior is only supported for spline type")
@@ -1175,8 +1349,29 @@ class FES:
         self.mc_data["g_logposterior"] = g_mc
 
     def get_confidence_intervals(self, xplot, plow, phigh, reference="zero"):
-        """Percentile bands of the sampled FES at the given x points
-        (reference fes.py:1859-1926)."""
+        """Confidence bands of the MCMC-sampled FES at given points.
+
+        Parameters
+        ----------
+        xplot : array_like
+            Points to evaluate the band at.
+        plow, phigh : float
+            Lower/upper percentiles (e.g. 2.5 and 97.5).
+        reference : {'zero', None}, optional
+            'zero' shifts each sampled surface so its first value is 0.
+
+        Returns
+        -------
+        dict
+            ``'plow'``/``'phigh'`` : the percentile curves; ``'median'``;
+            ``'values'`` : the full (n_samples, len(xplot)) matrix.
+
+        Notes
+        -----
+        Requires :meth:`sample_parameter_distribution` first.  Reference:
+        ``pymbar.FES.get_confidence_intervals``
+        (/root/reference/pymbar/fes.py:1859-1926).
+        """
         if self.mc_data is None:
             raise DataError("No MC sampling has been done, cannot construct confidence intervals")
 
@@ -1211,7 +1406,20 @@ class FES:
         )
 
     def get_mc_data(self):
-        """The MC chain data dict (reference fes.py:1928-1952)."""
+        """The stored MCMC chain data.
+
+        Returns
+        -------
+        dict
+            ``'samples'`` (decorrelated coefficient sets), ``'logposteriors'``,
+            ``'mc_parameters'``, ``'acceptance_ratio'``, ``'nequil'``,
+            ``'g_logposterior'``, ``'g_parameters'``, ``'g'``.
+
+        Notes
+        -----
+        Requires :meth:`sample_parameter_distribution` first.  Reference:
+        ``pymbar.FES.get_mc_data`` (/root/reference/pymbar/fes.py:1928-1952).
+        """
         if self.mc_data is None:
             raise DataError("No MC sampling has been done, cannot construct confidence intervals")
         return self.mc_data

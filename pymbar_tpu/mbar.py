@@ -131,8 +131,35 @@ def _wtw_gram(W, block_bytes=2**30):
 class MBAR:
     """Multistate Bennett acceptance ratio estimator (Shirts & Chodera 2008).
 
-    See the reference constructor documentation (mbar.py:85-231) for the full
-    parameter semantics; the surface here is identical.
+    Given ``N = sum_k N_k`` samples drawn from ``K`` thermodynamic states and
+    the reduced-potential matrix ``u_kn[k, n]`` (the energy of sample ``n``
+    evaluated in state ``k``, in units of kT), MBAR solves the coupled
+    self-consistent equations for the dimensionless free energies ``f_k``
+    (Eq. C3 of JCP 129:124105, 2008) and exposes estimators built on the
+    resulting weight matrix: free-energy differences, expectations of
+    arbitrary observables at sampled or unsampled states, entropy/enthalpy
+    decompositions, overlap diagnostics and effective sample sizes — each
+    with asymptotic (Eq. D4/D5) or bootstrap uncertainties.
+
+    The solve, weights and covariance reductions run on device
+    (JAX/XLA/Pallas); problems whose ``u_kn`` exceeds 2 GiB on a TPU backend
+    auto-route to the two-phase double-word solver, and ``mesh=`` shards the
+    sample axis over multiple chips with no other API change.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pymbar_tpu import MBAR
+    >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+    >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0, 2.0], K_k=[1.0, 1.5, 2.0])
+    >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[400, 300, 300], mode="u_kn", seed=7)
+    >>> mbar = MBAR(u_kn, N_k)
+    >>> results = mbar.compute_free_energy_differences()
+    >>> sorted(results)
+    ['Delta_f', 'dDelta_f']
+    >>> fa = tc.analytical_free_energies(); fa = fa - fa[0]
+    >>> bool(np.all(np.abs(results["Delta_f"][0] - fa) < 6 * (results["dDelta_f"][0] + 1e-8)))
+    True
     """
 
     def __init__(
@@ -151,6 +178,62 @@ class MBAR:
         rseed=None,
         mesh=None,
     ):
+        """Prepare the estimator and solve for the free energies.
+
+        Parameters
+        ----------
+        u_kn : np.ndarray, float, shape (K, N) or (K, K, N_max)
+            ``u_kn[k, n]`` is the reduced potential of sample ``n`` (indexed
+            globally, over all states it may have been drawn from) evaluated
+            in state ``k``.  A 3-D ``u_kln[k, l, n]`` array is accepted and
+            flattened with :func:`pymbar_tpu.utils.kln_to_kn`.
+        N_k : np.ndarray, int, shape (K,)
+            Number of samples drawn from each state; ``sum(N_k)`` must equal
+            ``N``.  States with ``N_k == 0`` are allowed (their free energies
+            come from one self-consistent update at the end of the solve).
+        maximum_iterations : int, optional, default 10000
+            Iteration cap applied to every solver stage.
+        relative_tolerance : float, optional, default 1.0e-7
+            Relative convergence tolerance of the duplicate-state scan (the
+            solver stages use their own ``tol``, default 1e-12).
+        verbose : bool, optional, default False
+            Emit per-stage diagnostics through the module logger.
+        initial_f_k : np.ndarray, float, shape (K,), optional
+            Initial guess for the dimensionless free energies (overrides
+            ``initialize``).
+        solver_protocol : tuple of dict, 'default', 'robust', or 'jax', optional
+            Ordered solver stages, each ``dict(method=..., options=...,
+            continuation=...)``; ``method`` may be ``"adaptive"``,
+            ``"anderson"``, ``"dd"``, ``"BFGS"``, any gradient-based
+            scipy.optimize.minimize method, or a scipy.optimize.root method
+            (``"hybr"``/``"lm"``).  ``None`` selects the default
+            (device-resident adaptive, then ``hybr`` as host fallback).
+        initialize : {'zeros', 'mean-reduced-potential', 'BAR'}, optional
+            How to build the initial ``f_k`` when ``initial_f_k`` is None.
+        x_kindices : np.ndarray, int, shape (N,), optional
+            Origin state of each sample (defaults to contiguous blocks of
+            ``N_k``); consumed by BAR initialization and bootstrap resampling.
+        n_bootstraps : int, optional, default 0
+            Number of bootstrap replicates to solve (enables
+            ``uncertainty_method="bootstrap"`` downstream).  On dd/mesh
+            routes the replicates solve as counts-weighted passes on the
+            resident planes (no resampled matrix).
+        bootstrap_solver_protocol : tuple of dict, optional
+            Protocol for the replicate solves (default: one adaptive stage
+            warm-started at the converged ``f_k``).
+        rseed : int, optional
+            Seed for the resampling RNG (fixed seed => reproducible
+            bootstrap streams).
+        mesh : jax.sharding.Mesh or "auto", optional
+            Shard the sample axis of the solve over a device mesh;
+            ``"auto"`` builds a 1-D mesh over every visible device.  An
+            explicit ``solver_protocol`` wins over ``mesh`` (with a warning).
+
+        Notes
+        -----
+        Reference surface: ``pymbar.MBAR.__init__``
+        (/root/reference/pymbar/mbar.py:85-231), extended by ``mesh``.
+        """
         self.N_k = np.array(N_k, dtype=np.int64)
         self.N = int(np.sum(self.N_k))
 
@@ -293,29 +376,16 @@ class MBAR:
             bootstrap_solver_protocol, BOOTSTRAP_SOLVER_PROTOCOL, maximum_iterations
         )
 
-        if mesh is not None:
-            from pymbar_tpu.parallel.sharding import (
-                sharded_solve_mbar_for_all_states,
-            )
-
-            self.f_k = sharded_solve_mbar_for_all_states(
-                self.u_kn, self.N_k, self.f_k, self.states_with_samples, mesh
-            )
-        else:
-            self.f_k = mbar_solvers.solve_mbar_for_all_states(
-                self.u_kn, self.N_k, self.f_k, self.states_with_samples, solver_protocol
-            )
-
+        # Draw every replicate's resample indices BEFORE the solve (nothing
+        # between here and the old in-loop draw consumes the RNG, so the
+        # stream is identical) so dd/mesh-routed solves can carry the
+        # replicates on their resident planes.
         self.n_bootstraps = n_bootstraps
+        bootstrap_counts = None
         if n_bootstraps > 0:
-            maxfrac = int(max(1, 0.1 * n_bootstraps))
             self.f_k_boots = np.zeros([n_bootstraps, self.K])
             allN = int(np.sum(N_k))
             self.bootstrap_rints = np.zeros([n_bootstraps, allN], int)
-
-            # Draw every replicate's resample indices first (same RNG stream
-            # as drawing them inside the loop, since nothing else consumes
-            # the RNG between draws).
             for b in range(n_bootstraps):
                 rints = np.zeros(allN, int)
                 for k in range(K):
@@ -328,43 +398,127 @@ class MBAR:
                     rints[k_indices] = new_kindices
                 self.bootstrap_rints[b, :] = rints
 
-            # Fast path: the default bootstrap protocol is a single adaptive
-            # stage with no BAR re-init — solve replicates batched under
-            # vmap (chunked to bound the B x K x N gather memory).  Batched
-            # solves fill the TPU; on CPU the sequential path is faster
-            # (the vmapped while-loop runs every replicate to the slowest
-            # one's iteration count), so gate on the backend.
-            from pymbar_tpu.config import on_tpu
-
-            fast = (
-                on_tpu()
-                and initialize != "BAR"
+            # dd/mesh production bootstrap: a resample is the original data
+            # reweighted by integer per-sample multiplicities, so when the
+            # solve is mesh- or dd-routed the replicates ride the SAME
+            # resident double-word planes through the counts-weighted wsum
+            # kernel (no K x N resampled copy, no cross-device gather).
+            # Conditions: every state sampled (the empty-state SC fill would
+            # need one full-matrix pass per replicate), no BAR re-init, and
+            # the default single-stage adaptive bootstrap protocol (whose
+            # fixed point the dd polish resolves to the same ~1e-12).
+            default_boot = (
+                initialize != "BAR"
                 and len(bootstrap_solver_protocol) == 1
                 and bootstrap_solver_protocol[0]["method"] == "adaptive"
             )
-            if fast:
-                self._bootstrap_solve_batched(bootstrap_solver_protocol[0], verbose)
-            else:
+            dd_stage = (
+                mesh is None
+                and len(solver_protocol) == 1
+                and solver_protocol[0]["method"] == "dd"
+            )
+            if default_boot and self.K_nonzero == self.K and (
+                mesh is not None or dd_stage
+            ):
+                bootstrap_counts = np.zeros((n_bootstraps, self.N), np.float32)
                 for b in range(n_bootstraps):
-                    f_k_init = np.array(self.f_k.copy())
-                    rints = self.bootstrap_rints[b, :]
-                    if initialize == "BAR":
-                        f_k_init = self._initialize_with_bar(
-                            self.u_kn[:, rints], f_k_init=self.f_k
-                        )
-                    self.f_k_boots[b, :] = mbar_solvers.solve_mbar_for_all_states(
-                        self.u_kn[:, rints],
-                        self.N_k,
-                        f_k_init,
-                        self.states_with_samples,
-                        bootstrap_solver_protocol,
+                    bootstrap_counts[b] = np.bincount(
+                        self.bootstrap_rints[b], minlength=self.N
                     )
-                    if verbose and b % maxfrac == 0:
-                        logger.info(
-                            f"Calculated {b + 1:d}/{n_bootstraps:d} bootstrap samples"
-                        )
         elif n_bootstraps < 0:
             logger.warning("n_bootstraps must be an integer >= 0")
+
+        f_boots_done = None
+        if mesh is not None:
+            from pymbar_tpu.parallel.sharding import (
+                sharded_solve_mbar_for_all_states,
+            )
+
+            if bootstrap_counts is not None:
+                self.f_k, f_boots_done, n_fail = sharded_solve_mbar_for_all_states(
+                    self.u_kn, self.N_k, self.f_k, self.states_with_samples,
+                    mesh, bootstrap_counts=bootstrap_counts, verbose=verbose,
+                )
+            else:
+                self.f_k = sharded_solve_mbar_for_all_states(
+                    self.u_kn, self.N_k, self.f_k, self.states_with_samples, mesh
+                )
+        elif bootstrap_counts is not None:
+            from pymbar_tpu.solvers_large import solve_mbar_dd_bootstrap
+
+            self.f_k, f_boots_done, n_fail, info = solve_mbar_dd_bootstrap(
+                self.u_kn, self.N_k, self.f_k, bootstrap_counts,
+                options=solver_protocol[0].get("options") or {},
+                verbose=verbose,
+            )
+            if not info.get("converged", False):
+                logger.warning(
+                    "dd MBAR solve did not converge to within tolerance "
+                    f"(gnorm={info.get('gnorm', float('nan')):.3e})"
+                )
+        else:
+            self.f_k = mbar_solvers.solve_mbar_for_all_states(
+                self.u_kn, self.N_k, self.f_k, self.states_with_samples, solver_protocol
+            )
+
+        if n_bootstraps > 0:
+            maxfrac = int(max(1, 0.1 * n_bootstraps))
+            if f_boots_done is not None:
+                self.f_k_boots[:] = f_boots_done
+                if n_fail:
+                    logger.warning(
+                        f"{n_fail:d}/{n_bootstraps:d} bootstrap replicates "
+                        "did not converge to within tolerance."
+                    )
+            else:
+                # Fast path: the default bootstrap protocol is a single
+                # adaptive stage with no BAR re-init — solve replicates
+                # batched under vmap (chunked to bound the B x K x N gather
+                # memory).  Batched solves fill the TPU; on CPU the
+                # sequential path is faster (the vmapped while-loop runs
+                # every replicate to the slowest one's iteration count), so
+                # gate on the backend.
+                from pymbar_tpu.config import on_tpu
+
+                fast = (
+                    on_tpu()
+                    and initialize != "BAR"
+                    and len(bootstrap_solver_protocol) == 1
+                    and bootstrap_solver_protocol[0]["method"] == "adaptive"
+                    # Device-memory budget: the batched path holds the full
+                    # f64 matrix PLUS one K x N resampled gather per chunk
+                    # (2x residency) — beyond ~4 GB that exceeds a v5e's
+                    # 16 GB HBM next to workspace.  Problems above the
+                    # budget with sampled states everywhere already took
+                    # the dd counts route; the remainder (empty states /
+                    # custom protocols at GB scale) runs the sequential
+                    # loop, which gathers one replicate at a time.
+                    and self.u_kn.nbytes <= 4 * 2**30
+                )
+                if fast:
+                    self._bootstrap_solve_batched(
+                        bootstrap_solver_protocol[0], verbose
+                    )
+                else:
+                    for b in range(n_bootstraps):
+                        f_k_init = np.array(self.f_k.copy())
+                        rints = self.bootstrap_rints[b, :]
+                        if initialize == "BAR":
+                            f_k_init = self._initialize_with_bar(
+                                self.u_kn[:, rints], f_k_init=self.f_k
+                            )
+                        self.f_k_boots[b, :] = mbar_solvers.solve_mbar_for_all_states(
+                            self.u_kn[:, rints],
+                            self.N_k,
+                            f_k_init,
+                            self.states_with_samples,
+                            bootstrap_solver_protocol,
+                        )
+                        if verbose and b % maxfrac == 0:
+                            logger.info(
+                                f"Calculated {b + 1:d}/{n_bootstraps:d} "
+                                "bootstrap samples"
+                            )
 
         # Log_W_nk materializes lazily (property below): it is an N x K f64
         # matrix whose compute + device->host transfer costs minutes at the
@@ -457,11 +611,27 @@ class MBAR:
 
     @property
     def W_nk(self):
-        """The N×K weight matrix (stored internally in log space)."""
+        """The N x K weight matrix ``exp(Log_W_nk)``.
+
+        ``W_nk[n, k]`` is sample n's normalized weight in state k's
+        estimate (columns sum to 1; rows weighted by N_k sum to 1).
+        Materializes the log-weights on first access.
+        """
         return np.exp(self.Log_W_nk)
 
     def weights(self):
-        """Retrieve the weight matrix W_nk (reference mbar.py:481-493)."""
+        """Retrieve the N x K weight matrix (method form of :attr:`W_nk`).
+
+        Returns
+        -------
+        np.ndarray, shape (N, K)
+            ``W_nk = exp(Log_W_nk)``.
+
+        Notes
+        -----
+        Reference: ``pymbar.MBAR.weights``
+        (/root/reference/pymbar/mbar.py:481-493).
+        """
         return np.exp(self.Log_W_nk)
 
     # -------------------------------------------------------------------------
@@ -478,10 +648,28 @@ class MBAR:
         return np.asarray(gram), np.asarray(colsum)
 
     def compute_effective_sample_number(self, verbose=False):
-        """Kish effective sample size per state: 1 / sum_n W_nk^2.
+        """Kish effective sample size of each state's MBAR estimate.
 
-        Reference mbar.py:496-560.  Sum_n W_nk^2 is the Gram diagonal, so
-        this runs as a streamed device pass with no N×K materialization.
+        ``N_eff[k] = 1 / sum_n W_nk^2`` — how many independent samples the
+        weighted estimate at state k is effectively worth.  Bounded by
+        ``N_k <= N_eff[k] <= sum_k N_k`` for sampled states.
+
+        Parameters
+        ----------
+        verbose : bool, optional, default False
+            Log each state's efficiency.
+
+        Returns
+        -------
+        np.ndarray, shape (K,)
+            Effective sample counts.
+
+        Notes
+        -----
+        ``sum_n W_nk^2`` is the Gram diagonal, so this is one streamed
+        device pass with no N x K materialization.  Reference:
+        ``pymbar.MBAR.compute_effective_sample_number``
+        (/root/reference/pymbar/mbar.py:496-560).
         """
         gram, _ = self._gram_colsum()
         N_eff = 1.0 / np.diag(gram)
@@ -498,11 +686,33 @@ class MBAR:
         return N_eff
 
     def compute_overlap(self):
-        """State-overlap matrix O = N_k (W^T W) and its spectrum.
+        """Phase-space overlap between the sampled states.
 
-        Returns dict(scalar, eigenvalues, matrix); scalar = 1 - second-largest
-        eigenvalue (reference mbar.py:563-617).  W^T W comes from the
-        streamed device Gram.
+        Returns
+        -------
+        dict
+            ``'matrix'`` : (K, K) overlap matrix ``O = N_k (W^T W)`` (row k
+            sums to 1; ``O[k, l]`` is the probability a sample from state k
+            "looks like" it came from state l); ``'eigenvalues'`` : its
+            spectrum, descending; ``'scalar'`` : ``1 - lambda_2``, a single
+            overlap quality number (1 = perfect overlap, 0 = disconnected).
+
+        Notes
+        -----
+        W^T W comes from one streamed device Gram pass — no N x K weight
+        matrix is formed.  Reference: ``pymbar.MBAR.compute_overlap``
+        (/root/reference/pymbar/mbar.py:563-617).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 0.0], K_k=[1.0, 1.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[200, 200], mode="u_kn", seed=1)
+        >>> O = MBAR(u_kn, N_k).compute_overlap()["matrix"]
+        >>> bool(np.allclose(O, 0.5, atol=1e-6))  # identical states: 1/K
+        True
         """
         gram, _ = self._gram_colsum()
         O = self.N_k * gram
@@ -522,10 +732,48 @@ class MBAR:
         warning_cutoff=1.0e-10,
         return_theta=False,
     ):
-        """Delta f_ij = f_j - f_i with asymptotic or bootstrap uncertainties.
+        """Free energy differences between all pairs of states.
 
-        Result keys: 'Delta_f', 'dDelta_f' (if compute_uncertainty), 'Theta'
-        (if return_theta).  Reference mbar.py:620-729.
+        Parameters
+        ----------
+        compute_uncertainty : bool, optional, default True
+            Also estimate the statistical uncertainty of each difference.
+        uncertainty_method : {None, 'approximate', 'svd', 'svd-ew', 'bootstrap'}, optional
+            Covariance estimator.  ``None``/'svd-ew' (default) uses the
+            eigendecomposition form of Eq. D4; 'approximate' uses
+            Theta = W^T W (Kong 2003, underestimates); 'svd' the explicit
+            SVD form; 'bootstrap' the standard deviation over the replicate
+            free energies (requires ``n_bootstraps > 0``).
+        warning_cutoff : float, optional, default 1.0e-10
+            Warn when a squared uncertainty is more negative than this.
+        return_theta : bool, optional, default False
+            Also return the full K x K covariance matrix Theta.
+
+        Returns
+        -------
+        dict
+            ``'Delta_f'`` : (K, K) array, ``Delta_f[i, j] = f_j - f_i``;
+            ``'dDelta_f'`` : (K, K) standard deviations (if
+            ``compute_uncertainty``); ``'Theta'`` : (K, K) covariance (if
+            ``return_theta``).
+
+        Notes
+        -----
+        The asymptotic estimators consume W in streamed Gram form — no
+        N x K weight matrix is materialized at any scale.  Reference:
+        ``pymbar.MBAR.compute_free_energy_differences``
+        (/root/reference/pymbar/mbar.py:620-729).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0], K_k=[1.0, 2.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[300, 300], mode="u_kn", seed=3)
+        >>> res = MBAR(u_kn, N_k).compute_free_energy_differences()
+        >>> res["Delta_f"].shape, float(res["Delta_f"][0, 0])
+        ((2, 2), 0.0)
         """
         Deltaf_ij = np.array(self.f_k - np.vstack(self.f_k))
         self._zerosamestates(Deltaf_ij)
@@ -574,13 +822,43 @@ class MBAR:
         warning_cutoff=1.0e-10,
         return_theta=False,
     ):
-        """Augmented-state expectations workhorse (reference mbar.py:732-1030).
+        """Augmented-state expectations workhorse (low-level API).
 
-        Builds an augmented weight matrix with K original states, NL extra
-        states from u_ln, and S observable pseudo-states; observables are
-        shifted positive by A_min - 4eps|A_min| so everything runs in log
-        space.  Returns dict with 'observables', 'f', 'Theta' (block form),
-        'Amin', 'bootstrapped_observables', 'bootstrapped_f' as applicable.
+        Augments the state space to ``K + NL + S`` — the K original states,
+        NL extra states defined by ``u_ln``, and one pseudo-state per
+        observable entry of ``state_map`` — and evaluates free energies,
+        observables, and the joint covariance over the augmented weights.
+        Observables are shifted positive by ``A_min - 4 eps |A_min|`` so
+        everything runs in log space.
+
+        Parameters
+        ----------
+        A_n : np.ndarray, shape (n_obs, N)
+            Observable rows referenced by ``state_map[1]``.
+        u_ln : np.ndarray, shape (NL, N)
+            Reduced potentials of the extra states.
+        state_map : np.ndarray, int, shape (2, S) or (S,)
+            Row 0: which extra state each observable pseudo-state attaches
+            to; row 1: which ``A_n`` row it averages.  A 1-D array means
+            "free energies only" (no observables).
+        uncertainty_method, warning_cutoff, return_theta
+            As in :meth:`compute_expectations`.
+
+        Returns
+        -------
+        dict
+            ``'observables'`` (S,), ``'f'`` (per state_list entry),
+            ``'Theta'`` (block form: S observable rows first, then the
+            state rows), ``'Amin'``, and — under
+            ``uncertainty_method='bootstrap'`` — ``'bootstrapped_observables'``
+            / ``'bootstrapped_f'``.
+
+        Notes
+        -----
+        Above 512 MB of ``u_kn`` the whole machinery streams over sample
+        chunks on device (no N x (K+NL+S) matrix exists).  Reference:
+        ``pymbar.MBAR.compute_expectations_inner``
+        (/root/reference/pymbar/mbar.py:732-1030).
         """
         logfactor = 4.0 * np.finfo(np.float64).eps
 
@@ -888,12 +1166,35 @@ class MBAR:
         return f_aug, self._theta_svd_ew_from_gram(gram, N_aug)
 
     def compute_covariance_of_sums(self, d_ij, K, a):
-        """Variance of weighted sums of free-energy differences.
+        """Uncertainty of weighted sums of free-energy differences.
 
-        var(sum_k a_k (f_{i,k} - f_{j,k})) assembled from the pairwise
-        standard deviations d_ij of the stacked states.  Vectorized einsum
-        replacing the reference's quadruple loop (mbar.py:1033-1121, which
-        carries a TODO to vectorize).
+        For ``n`` chunks of ``K`` states stacked into one estimator,
+        computes ``sigma[i, j] = sqrt(var(sum_k a_k (f_{i,k} - f_{j,k})))``
+        from the pairwise standard deviations ``d_ij`` of the stacked
+        states — e.g. the uncertainty of a heat-capacity-style linear
+        combination across temperature chunks.
+
+        Parameters
+        ----------
+        d_ij : np.ndarray, shape (>= n*K, >= n*K)
+            Pairwise standard deviations of the stacked free energies (as
+            returned in ``dDelta_f`` by a stacked-state MBAR).
+        K : int
+            States per chunk.
+        a : array_like, shape (n,)
+            Weight of each chunk in the sum.
+
+        Returns
+        -------
+        np.ndarray, shape (K, K)
+            The combined standard deviations.
+
+        Notes
+        -----
+        Vectorized einsum over (n, n, K, K) covariance blocks, replacing
+        the reference's quadruple loop (which carries a TODO to vectorize):
+        ``pymbar.MBAR.compute_covariance_of_sums``
+        (/root/reference/pymbar/mbar.py:1033-1121).
         """
         a = np.asarray(a, dtype=np.float64)
         var_ij = np.square(np.asarray(d_ij))
@@ -928,10 +1229,55 @@ class MBAR:
         warning_cutoff=1.0e-10,
         return_theta=False,
     ):
-        """Expectation of one observable at all K states (reference mbar.py:1124-1312).
+        """Equilibrium expectation of one observable at every state.
 
-        Result keys: 'mu', 'sigma' (if compute_uncertainty), 'Theta' (if
-        return_theta); output='differences' gives matrices instead of vectors.
+        Parameters
+        ----------
+        A_n : np.ndarray, shape (N,), (K, N_max) or (N, K)
+            The observable per sample.  With ``state_dependent=True``,
+            ``A_n[k, n]`` gives the observable's value in state ``k`` (e.g.
+            the potential energy itself).
+        u_kn : np.ndarray, optional
+            Alternative reduced potentials to evaluate at (defaults to the
+            constructor's matrix); accepts kn, n, or kln layouts.
+        output : {'averages', 'differences'}, optional
+            'averages' returns per-state vectors; 'differences' returns
+            (K, K) matrices of pairwise differences.
+        state_dependent : bool, optional, default False
+            Whether the observable's definition varies by state.
+        compute_uncertainty : bool, optional, default True
+        uncertainty_method : {None, 'approximate', 'svd', 'svd-ew', 'bootstrap'}, optional
+            As in :meth:`compute_free_energy_differences`.
+        warning_cutoff : float, optional, default 1.0e-10
+        return_theta : bool, optional, default False
+
+        Returns
+        -------
+        dict
+            ``'mu'`` : expectations (K,) or (K, K); ``'sigma'`` :
+            uncertainties (same shape, if ``compute_uncertainty``);
+            ``'Theta'`` : covariance of the augmented observables (if
+            ``return_theta``).
+
+        Notes
+        -----
+        Observables are shifted positive (``A_min - 4 eps |A_min|``) so the
+        whole computation stays in log space; above 512 MB of ``u_kn`` the
+        augmented-state machinery streams over sample chunks on device.
+        Reference: ``pymbar.MBAR.compute_expectations``
+        (/root/reference/pymbar/mbar.py:1124-1312) — with the fix that
+        ``return_theta=True`` without uncertainties does not crash.
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0], K_k=[1.0, 2.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[500, 500], mode="u_kn", seed=5)
+        >>> ex = MBAR(u_kn, N_k).compute_expectations(x_n)
+        >>> bool(np.all(np.abs(ex["mu"] - tc.analytical_means()) < 6 * ex["sigma"] + 0.05))
+        True
         """
         if uncertainty_method == "bootstrap" and (
             self.n_bootstraps is None or self.n_bootstraps <= 0
@@ -1046,9 +1392,46 @@ class MBAR:
         warning_cutoff=1.0e-10,
         return_theta=False,
     ):
-        """I observables at ONE state specified by u_n (reference mbar.py:1315-1439).
+        """Expectations of several observables at one (possibly new) state.
 
-        Result keys: 'mu', 'sigma', 'covariances', 'Theta' as requested.
+        Parameters
+        ----------
+        A_in : np.ndarray, shape (I, N) or (I, K, N_max)
+            ``I`` observables evaluated at every sample.
+        u_n : np.ndarray, shape (N,) or (K, N_max)
+            Reduced potential of the single target state.
+        compute_uncertainty : bool, optional, default True
+        compute_covariance : bool, optional, default False
+            Also return the I x I covariance matrix of the observables.
+        uncertainty_method : {None, 'approximate', 'svd', 'svd-ew', 'bootstrap'}, optional
+        warning_cutoff : float, optional, default 1.0e-10
+        return_theta : bool, optional, default False
+
+        Returns
+        -------
+        dict
+            ``'mu'`` : (I,) expectations at the target state; ``'sigma'`` :
+            (I,) uncertainties; ``'covariances'`` : (I, I) covariance;
+            ``'Theta'`` : augmented covariance — each as requested.
+
+        Notes
+        -----
+        Reference: ``pymbar.MBAR.compute_multiple_expectations``
+        (/root/reference/pymbar/mbar.py:1315-1439), including its
+        ``compute_uncertainty != "bootstrap"`` comparison quirk (preserved
+        for behavioral parity — verified identical upstream).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0], K_k=[1.0, 2.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[400, 400], mode="u_kn", seed=9)
+        >>> A_in = np.vstack([x_n, x_n**2])
+        >>> out = MBAR(u_kn, N_k).compute_multiple_expectations(A_in, u_kn[0])
+        >>> out["mu"].shape, out["sigma"].shape
+        ((2,), (2,))
         """
         A_in = np.asarray(A_in)
         I = A_in.shape[0]
@@ -1120,9 +1503,44 @@ class MBAR:
         uncertainty_method=None,
         warning_cutoff=1.0e-10,
     ):
-        """Free energies of L new states from u_ln (reference mbar.py:1442-1520).
+        """Free energy differences between L perturbed (unsampled) states.
 
-        Result keys: 'Delta_f', 'dDelta_f'.
+        Parameters
+        ----------
+        u_ln : np.ndarray, shape (L, N) or (L, K, N_max)
+            Reduced potentials of every original sample evaluated in each of
+            the L new states (all N original samples are required).
+        compute_uncertainty : bool, optional, default True
+        uncertainty_method : {None, 'approximate', 'svd', 'svd-ew', 'bootstrap'}, optional
+        warning_cutoff : float, optional, default 1.0e-10
+
+        Returns
+        -------
+        dict
+            ``'Delta_f'`` : (L, L) free energy differences between the new
+            states; ``'dDelta_f'`` : (L, L) uncertainties (if requested).
+
+        Raises
+        ------
+        DataError
+            If ``u_ln`` has fewer samples than the estimator was built on.
+
+        Notes
+        -----
+        Reference: ``pymbar.MBAR.compute_perturbed_free_energies``
+        (/root/reference/pymbar/mbar.py:1442-1520).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0], K_k=[1.0, 2.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[400, 400], mode="u_kn", seed=2)
+        >>> u_ln = np.vstack([u_kn[0], 0.5 * 3.0 * (x_n - 0.5) ** 2])
+        >>> out = MBAR(u_kn, N_k).compute_perturbed_free_energies(u_ln)
+        >>> out["Delta_f"].shape
+        (2, 2)
         """
         if len(np.shape(u_ln)) == 3:
             u_ln = kln_to_kn(u_ln, N_k=self.N_k)
@@ -1164,10 +1582,42 @@ class MBAR:
     def compute_entropy_and_enthalpy(
         self, u_kn=None, uncertainty_method=None, verbose=False, warning_cutoff=1.0e-10
     ):
-        """Decompose Delta f into Delta u and Delta s with full covariance.
+        """Decompose free energy differences into enthalpy and entropy.
 
-        Reference mbar.py:1524-1681.  Result keys: Delta_f/dDelta_f,
-        Delta_u/dDelta_u, Delta_s/dDelta_s.
+        Computes ``Delta_u`` (differences of average reduced potential) and
+        ``Delta_s = Delta_u - Delta_f`` with the full 3K x 3K covariance
+        assembly for their uncertainties.
+
+        Parameters
+        ----------
+        u_kn : np.ndarray, optional
+            Reduced potentials to average (defaults to the constructor's
+            matrix; kln layouts accepted).
+        uncertainty_method : {None, 'approximate', 'svd', 'svd-ew', 'bootstrap'}, optional
+        verbose : bool, optional, default False
+        warning_cutoff : float, optional, default 1.0e-10
+
+        Returns
+        -------
+        dict
+            ``'Delta_f'``/``'dDelta_f'``, ``'Delta_u'``/``'dDelta_u'``,
+            ``'Delta_s'``/``'dDelta_s'`` — each a (K, K) matrix.
+
+        Notes
+        -----
+        Reference: ``pymbar.MBAR.compute_entropy_and_enthalpy``
+        (/root/reference/pymbar/mbar.py:1524-1681).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> from pymbar_tpu import MBAR
+        >>> from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+        >>> tc = HarmonicOscillatorsTestCase(O_k=[0.0, 1.0], K_k=[1.0, 2.0])
+        >>> x_n, u_kn, N_k, s_n = tc.sample(N_k=[400, 400], mode="u_kn", seed=4)
+        >>> out = MBAR(u_kn, N_k).compute_entropy_and_enthalpy()
+        >>> sorted(out)
+        ['Delta_f', 'Delta_s', 'Delta_u', 'dDelta_f', 'dDelta_s', 'dDelta_u']
         """
         if verbose:
             logger.info("Computing average energy and entropy by MBAR.")

@@ -301,32 +301,38 @@ def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
 
 
 @partial(jax.jit, static_argnames=("num_chunks",))
-def gram_f32_acc64(u_kn32, N_k32, f_k32, num_chunks=64):
+def gram_f32_acc64(u_kn32, N_k32, f_k32, c32=None, num_chunks=64):
     """Blocked Gram with f32 MXU matmuls per chunk and f64 chunk accumulation.
 
     On TPU the f32 matmul's in-chunk accumulation error (~1e-6 relative over
     ~1e4-sample chunks) is what limits Newton's contraction rate in the
     double-word polish; summing the per-chunk K x K partials in (emulated)
-    f64 removes the cross-chunk part at negligible cost.  Returns
-    (gram, colsum) in f64.
+    f64 removes the cross-chunk part at negligible cost.  ``c32`` supplies
+    optional (N,) per-sample counts (bootstrap multiplicities): the result
+    becomes the weighted Gram W diag(c) W^T and colsum sum_n c_n W_nk —
+    the Hessian aggregates of a counts-reweighted (resampled) problem.
+    Returns (gram, colsum) in f64.
     """
     K, N = u_kn32.shape
     logden = log_denominator_n(u_kn32, N_k32, f_k32)
     nc = max(1, N // num_chunks)
     num_chunks = N // nc
 
-    def body(c, acc):
-        sl = jax.lax.dynamic_slice(u_kn32, (0, c * nc), (K, nc))
-        ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
+    def wslab(sl, ldc, cc):
         w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
         # W columns normalize to 1 regardless of u, so sentinel pad columns
         # (sharded dd layout) would be phantom weight-1 samples: zero them.
         w = jnp.where(sl >= jnp.float32(5.0e9), jnp.float32(0.0), w)
-        g = jnp.dot(w, w.T, preferred_element_type=jnp.float32)
-        return (
-            acc[0] + g.astype(jnp.float64),
-            acc[1] + jnp.sum(w, axis=1).astype(jnp.float64),
-        )
+        wc = w if cc is None else w * cc[None, :]
+        g = jnp.dot(wc, w.T, preferred_element_type=jnp.float32)
+        return g.astype(jnp.float64), jnp.sum(wc, axis=1).astype(jnp.float64)
+
+    def body(c, acc):
+        sl = jax.lax.dynamic_slice(u_kn32, (0, c * nc), (K, nc))
+        ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
+        cc = None if c32 is None else jax.lax.dynamic_slice(c32, (c * nc,), (nc,))
+        g, cs = wslab(sl, ldc, cc)
+        return (acc[0] + g, acc[1] + cs)
 
     gram, colsum = jax.lax.fori_loop(
         0,
@@ -336,12 +342,13 @@ def gram_f32_acc64(u_kn32, N_k32, f_k32, num_chunks=64):
     )
     rem = N - nc * num_chunks
     if rem > 0:
-        sl = u_kn32[:, nc * num_chunks :]
-        ldc = logden[nc * num_chunks :]
-        w = jnp.exp(f_k32[:, None] - sl - ldc[None, :])
-        w = jnp.where(sl >= jnp.float32(5.0e9), jnp.float32(0.0), w)
-        gram = gram + jnp.dot(w, w.T, preferred_element_type=jnp.float32).astype(jnp.float64)
-        colsum = colsum + jnp.sum(w, axis=1).astype(jnp.float64)
+        g, cs = wslab(
+            u_kn32[:, nc * num_chunks :],
+            logden[nc * num_chunks :],
+            None if c32 is None else c32[nc * num_chunks :],
+        )
+        gram = gram + g
+        colsum = colsum + cs
     return gram, colsum
 
 

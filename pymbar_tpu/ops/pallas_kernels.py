@@ -44,6 +44,7 @@ from pymbar_tpu.ops.doubledouble import (
     dd_exp_neg,
     dd_exp_neg_fast,
     dd_mul,
+    dd_mul_f,
     dd_recip,
     two_sum,
 )
@@ -463,8 +464,8 @@ def lognum_fused_dd(
 _WSUM_MAX_K = 2048
 
 
-def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
-    """One (K, TILE_N) tile: accumulate S_k += sum_n N_k W_nk, one exp/element.
+def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, *rest, fast, weighted=False):
+    """One (K, TILE_N) tile: accumulate S_k += sum_n c_n N_k W_nk, one exp/element.
 
     The polish iteration's two logsumexp reductions collapse algebraically:
     with T1 = exp((g - u) - m_n) the logden terms and s_n their column sum,
@@ -475,8 +476,18 @@ def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
     S_k = sum_n N_k W_nk gives the gradient directly (g_k = S_k - N_k) and
     the SC update (f_sci = f_k + ln N_k - ln S_k); no stabilizer m_k or
     final log is needed since every term is in [0, 1] and S_k <= N.
+
+    ``weighted`` adds a (1, T) per-sample count plane c_n (exact small f32
+    integers) multiplied into the weights before the per-state reduction:
+    S_k = sum_n c_n N_k W_nk — a bootstrap replicate IS the original data
+    reweighted by its resample counts, so replicate solves stream the same
+    planes with this one extra dd-by-f32 multiply (+4 bytes/column of HBM).
     """
     i = pl.program_id(0)
+    if weighted:
+        c_ref, sh_ref, sl_ref = rest
+    else:
+        sh_ref, sl_ref = rest
     uh = uh_ref[:, :]
     ul = ul_ref[:, :]
     gh = gh_ref[:, :]  # (K, 1)
@@ -495,8 +506,13 @@ def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
     pad_col = m < jnp.float32(-1.0e8)
     r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
     r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
+    if weighted:
+        # Fold the counts into the reciprocal (one (1, T) dd-by-f32 multiply
+        # instead of a (K, T) one on the weights).
+        c = c_ref[:, :]
+        r_hi, r_lo = dd_mul_f(r_hi, r_lo, c)
 
-    w_hi, w_lo = dd_mul(e_hi, e_lo, r_hi, r_lo)  # N_k W_nk, dd
+    w_hi, w_lo = dd_mul(e_hi, e_lo, r_hi, r_lo)  # (c_n) N_k W_nk, dd
     th, tl = _dd_tree_sum(w_hi, w_lo, axis=1)  # (K, 1)
 
     @pl.when(i == 0)
@@ -510,18 +526,25 @@ def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, sh_ref, sl_ref, *, fast):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
-def wsum_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=True):
-    """S_k = sum_n N_k W_nk in double-word precision, one pass over u.
+def wsum_dd(u_hi, u_lo, g_hi, g_lo, c=None, tile_n=_TILE_N, interpret=False, fast=True):
+    """S_k = sum_n c_n N_k W_nk in double-word precision, one pass over u.
 
     u_hi/u_lo: (K, N) dd planes of the (preconditioned) reduced potentials;
-    g_hi/g_lo: (K,) dd planes of f_k + ln N_k.  Returns (S_hi, S_lo): (K,)
-    f32 pairs with S_k in [0, N] and ~1e-13 relative accuracy.
+    g_hi/g_lo: (K,) dd planes of f_k + ln N_k; c: optional (N,) f32
+    per-sample counts (bootstrap-resample multiplicities; None = unweighted).
+    Returns (S_hi, S_lo): (K,) f32 pairs with S_k in [0, max(c) N] and
+    ~1e-13 relative accuracy.
 
     This is THE polish-phase kernel: gradient g_k = S_k - N_k exactly
     (Eq. C6 with exp(f+lognum) = S/N substituted), self-consistent update
     f_sci = f_k + ln N_k - ln S_k (Eq. C3), weight column sums S_k / N_k.
     Per-device partial S_k sums merge exactly with dd adds across
     sample-sharded meshes (the multi-chip form needs no extra plumbing).
+    With ``c`` it is also the bootstrap-replicate kernel: a resample is the
+    same dataset with integer sample multiplicities, so replicate gradients
+    come from the same resident planes (reference semantics
+    /root/reference/pymbar/mbar.py:417-449, which gathers a resampled
+    matrix per replicate instead).
     """
     K, N = u_hi.shape
     K_pad = 1 << (K - 1).bit_length()
@@ -540,7 +563,7 @@ def wsum_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=True):
         dh = jnp.where(pad_col, jnp.float32(0.0), dh)
         dl = jnp.where(pad_col, jnp.float32(0.0), dl)
         return wsum_denom_dd(
-            u_hi, u_lo, g_hi, g_lo, m_n, dh, dl, tile_n=tile_n,
+            u_hi, u_lo, g_hi, g_lo, m_n, dh, dl, c=c, tile_n=tile_n,
             interpret=interpret, fast=fast,
         )
     if tile_n is None:
@@ -554,19 +577,25 @@ def wsum_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=True):
         u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
         g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
         g_lo = jnp.pad(g_lo, (0, K_pad - K))
+        if c is not None:
+            c = jnp.pad(c, (0, n_pad))
     Np = N + n_pad
     grid = (Np // tile_n,)
 
+    block_u = pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    block_g = pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    block_c = pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [block_u, block_u, block_g, block_g]
+    operands = [u_hi, u_lo, g_hi.reshape(K_pad, 1), g_lo.reshape(K_pad, 1)]
+    if c is not None:
+        in_specs.append(block_c)
+        operands.append(c.reshape(1, Np))
+
     with jax.enable_x64(False):
         s_hi, s_lo = pl.pallas_call(
-            functools.partial(_wsum_kernel, fast=fast),
+            functools.partial(_wsum_kernel, fast=fast, weighted=c is not None),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -576,22 +605,18 @@ def wsum_dd(u_hi, u_lo, g_hi, g_lo, tile_n=_TILE_N, interpret=False, fast=True):
                 jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(
-            u_hi,
-            u_lo,
-            g_hi.reshape(K_pad, 1),
-            g_lo.reshape(K_pad, 1),
-        )
+        )(*operands)
 
     return s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K]
 
 
 @jax.jit
-def wsum_dd_ref(u_hi, u_lo, g_hi, g_lo):
+def wsum_dd_ref(u_hi, u_lo, g_hi, g_lo, c=None):
     """Pure-jnp reference of ``wsum_dd`` (true-f64 inner math, off-TPU).
 
-    S_k = sum_n exp(g_k - u_kn - logden_n) with logden from the dd planes;
-    sentinel pad columns contribute exactly zero, matching the kernel mask.
+    S_k = sum_n c_n exp(g_k - u_kn - logden_n) with logden from the dd
+    planes (c = 1 when None); sentinel pad columns contribute exactly zero,
+    matching the kernel mask.
     """
     u64 = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
     g64 = (g_hi.astype(jnp.float64) + g_lo.astype(jnp.float64))[:, None]
@@ -602,6 +627,8 @@ def wsum_dd_ref(u_hi, u_lo, g_hi, g_lo):
     # all-sentinel detection via the shift, matching the kernel mask
     pad_col = m < -1.0e8
     w = jnp.where(pad_col, 0.0, w)
+    if c is not None:
+        w = w * c.astype(jnp.float64)[None, :]
     S64 = jnp.sum(w, axis=1)
     sh = S64.astype(jnp.float32)
     sl = (S64 - sh.astype(jnp.float64)).astype(jnp.float32)
@@ -724,10 +751,15 @@ def denom_sums_dd_ref(u_hi, u_lo, g_hi, g_lo, m_n):
 
 
 def _wsum_denom_kernel(
-    uh_ref, ul_ref, gh_ref, gl_ref, m_ref, dh_ref, dl_ref, sh_ref, sl_ref, *, fast
+    uh_ref, ul_ref, gh_ref, gl_ref, m_ref, dh_ref, dl_ref, *rest, fast,
+    weighted=False,
 ):
-    """One (K_blk, TILE_N) tile: S_k += sum_n T1 / s_n with s_n supplied."""
+    """One (K_blk, TILE_N) tile: S_k += sum_n c_n T1 / s_n with s_n supplied."""
     i = pl.program_id(1)
+    if weighted:
+        c_ref, sh_ref, sl_ref = rest
+    else:
+        sh_ref, sl_ref = rest
     uh = uh_ref[:, :]
     ul = ul_ref[:, :]
     gh = gh_ref[:, :]
@@ -743,6 +775,8 @@ def _wsum_denom_kernel(
     pad_col = dh <= jnp.float32(0.0)
     r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
     r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
+    if weighted:
+        r_hi, r_lo = dd_mul_f(r_hi, r_lo, c_ref[:, :])
 
     w_hi, w_lo = dd_mul(e_hi, e_lo, r_hi, r_lo)
     th, tl = _dd_tree_sum(w_hi, w_lo, axis=1)
@@ -759,12 +793,14 @@ def _wsum_denom_kernel(
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "fast"))
 def wsum_denom_dd(
-    u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo, tile_n=_TILE_N, interpret=False, fast=True
+    u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo, c=None, tile_n=_TILE_N,
+    interpret=False, fast=True,
 ):
-    """S_k = sum_n exp((g_k - u_kn) - m_n) / s_n for this device's k-block,
-    with the cross-block-combined denominator sums (d_hi, d_lo) supplied.
+    """S_k = sum_n c_n exp((g_k - u_kn) - m_n) / s_n for this device's
+    k-block, with the cross-block-combined denominator sums (d_hi, d_lo)
+    supplied (c = 1 when None).
 
-    The shift m_n cancels exactly in T1/s, so S_k = sum_n N_k W_nk as in
+    The shift m_n cancels exactly in T1/s, so S_k = sum_n c_n N_k W_nk as in
     :func:`wsum_dd`; this split form serves K-sharded (2-D mesh) solves
     where no single device holds all states, and the k-blocked large-K
     single-device route.  Returns (S_hi, S_lo): (K,).
@@ -782,22 +818,35 @@ def wsum_denom_dd(
         m_n = jnp.pad(m_n, (0, n_pad))
         d_hi = jnp.pad(d_hi, (0, n_pad))  # pad columns: s = 0 -> masked
         d_lo = jnp.pad(d_lo, (0, n_pad))
+        if c is not None:
+            c = jnp.pad(c, (0, n_pad))
     Np = N + n_pad
     grid = (k_blocks, Np // tile_n)
 
+    block_u = pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM)
+    block_g = pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
+    block_n = pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [block_u, block_u, block_g, block_g, block_n, block_n, block_n]
+    operands = [
+        u_hi,
+        u_lo,
+        g_hi.reshape(K_pad, 1),
+        g_lo.reshape(K_pad, 1),
+        m_n.reshape(1, Np),
+        d_hi.reshape(1, Np),
+        d_lo.reshape(1, Np),
+    ]
+    if c is not None:
+        in_specs.append(block_n)
+        operands.append(c.reshape(1, Np))
+
     with jax.enable_x64(False):
         s_hi, s_lo = pl.pallas_call(
-            functools.partial(_wsum_denom_kernel, fast=fast),
+            functools.partial(
+                _wsum_denom_kernel, fast=fast, weighted=c is not None
+            ),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_blk, tile_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n), lambda b, i: (0, i), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((K_blk, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
@@ -807,26 +856,20 @@ def wsum_denom_dd(
                 jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(
-            u_hi,
-            u_lo,
-            g_hi.reshape(K_pad, 1),
-            g_lo.reshape(K_pad, 1),
-            m_n.reshape(1, Np),
-            d_hi.reshape(1, Np),
-            d_lo.reshape(1, Np),
-        )
+        )(*operands)
     return s_hi.reshape(K_pad)[:K], s_lo.reshape(K_pad)[:K]
 
 
 @jax.jit
-def wsum_denom_dd_ref(u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo):
+def wsum_denom_dd_ref(u_hi, u_lo, g_hi, g_lo, m_n, d_hi, d_lo, c=None):
     """Pure-jnp reference of ``wsum_denom_dd`` (true-f64 inner math)."""
     u64 = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
     g64 = (g_hi.astype(jnp.float64) + g_lo.astype(jnp.float64))[:, None]
     d64 = d_hi.astype(jnp.float64) + d_lo.astype(jnp.float64)
     t = jnp.exp(g64 - u64 - m_n.astype(jnp.float64)[None, :])
     w = jnp.where(d64[None, :] > 0.0, t / jnp.where(d64 == 0.0, 1.0, d64)[None, :], 0.0)
+    if c is not None:
+        w = w * c.astype(jnp.float64)[None, :]
     S64 = jnp.sum(w, axis=1)
     sh = S64.astype(jnp.float32)
     sl = (S64 - sh.astype(jnp.float64)).astype(jnp.float32)

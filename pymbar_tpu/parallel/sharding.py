@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pymbar_tpu.solvers import host_adaptive_metrics
+
 __all__ = [
     "default_mesh",
     "shard_u_kn",
@@ -33,6 +35,7 @@ __all__ = [
     "sharded_fused_lognum_dd",
     "sharded_wsum_dd",
     "sharded_solve_mbar_dd",
+    "sharded_bootstrap_polish_dd",
     "shard_dd_planes_2d",
     "sharded2d_wsum_dd",
     "sharded2d_solve_mbar_dd",
@@ -278,11 +281,7 @@ def sharded_solve_mbar(
         f = f_sci if take_sci else f_nr
         sci_iter += int(take_sci)
 
-        f_new = np.asarray(f)
-        div = np.abs(f_new[1:])
-        div[div < min(1.0e-8, tol)] = 1.0
-        max_delta = np.max(np.abs(f_new[1:] - f_old[1:]) / div)
-        max_diff = np.max(np.abs(np.asarray(f_sci)[1:] - np.asarray(f_nr)[1:]) / div)
+        max_delta, max_diff = host_adaptive_metrics(f, f_old, f_sci, f_nr, tol)
         if np.isnan(max_delta) or (max_delta < tol and max_diff < np.sqrt(tol)):
             converged = True
             break
@@ -388,34 +387,59 @@ def sharded2d_core_stats(u_sharded, N_k, f_k, mesh):
     return fn(u_sharded, N_sh, f_sh)
 
 
-def _chunked_w_gram(w):
-    """(W W^T, rowsum W) of a local f32 weight slab: f32 MXU matmuls with
-    f64 chunk accumulation.  A fori-loop carry does not compose with
-    shard_map's varying axes, so the chunking is by reshape; shared by the
-    1-D and 2-D sharded Gram passes."""
+def _chunked_w_gram(w, c=None):
+    """(W diag(c) W^T, rowsum cW) of a local f32 weight slab: f32 MXU
+    matmuls with f64 chunk accumulation (c = 1 when None — the plain Gram).
+    A fori-loop carry does not compose with shard_map's varying axes, so
+    the chunking is by reshape; shared by the 1-D and 2-D sharded Gram
+    passes and the weighted bootstrap-replicate factor."""
     K_l, N_l = w.shape
+    wv = w if c is None else w * c[None, :]
     C = 8
     n_pad = (-N_l) % C
     if n_pad:
         w = jnp.pad(w, ((0, 0), (0, n_pad)))
+        wv = jnp.pad(wv, ((0, 0), (0, n_pad)))
     wc = w.reshape(K_l, C, -1)
-    g = jnp.einsum("kcn,jcn->ckj", wc, wc, preferred_element_type=jnp.float32)
+    wvc = wv.reshape(K_l, C, -1)
+    g = jnp.einsum("kcn,jcn->ckj", wvc, wc, preferred_element_type=jnp.float32)
     gram = jnp.sum(g.astype(jnp.float64), axis=0)
-    colsum = jnp.sum(w.astype(jnp.float64), axis=1)
+    colsum = jnp.sum(wv.astype(jnp.float64), axis=1)
     return gram, colsum
 
 
-def sharded2d_gram(u_sharded, N_k, f_k, mesh):
-    """(W^T W, colsum W) on a 2-D (k, n) mesh — the chord-factor pass.
+def _chunked_pair_gram(a, b):
+    """a @ b^T of two local f32 slabs with f64 chunk accumulation (the
+    asymmetric twin of :func:`_chunked_w_gram`, for ring Gram tiles)."""
+    K_a, N_l = a.shape
+    C = 8
+    n_pad = (-N_l) % C
+    if n_pad:
+        a = jnp.pad(a, ((0, 0), (0, n_pad)))
+        b = jnp.pad(b, ((0, 0), (0, n_pad)))
+    ac = a.reshape(K_a, C, -1)
+    bc = b.reshape(b.shape[0], C, -1)
+    g = jnp.einsum("kcn,jcn->ckj", ac, bc, preferred_element_type=jnp.float32)
+    return jnp.sum(g.astype(jnp.float64), axis=0)
 
-    Each device forms its local W block from the psum-'k' log denominator,
-    all_gathers the k-axis blocks (transient memory K x N_local — callers
-    pass a strided SUBSAMPLE of the plane to keep this a few GB at stress
-    scale), contracts on the MXU with f64 chunk accumulation, and the
-    K x K partials psum over 'n'.  Devices along 'k' hold identical
-    gathered copies, so their stacked partials over-count by the k-extent;
-    the caller-visible result divides that out (exact: mesh extents are
-    powers of two).  Works on f32 hi planes with +PAD sentinels.
+
+def sharded2d_gram(u_sharded, N_k, f_k, mesh):
+    """(W^T W, colsum W) on a 2-D (k, n) mesh — the chord-factor pass,
+    GATHERLESS: a collective-permute ring over the k axis.
+
+    Each device forms its local (K_loc, N_loc) W block from the psum-'k'
+    log denominator.  A rotating copy of the block then ppermutes around
+    the k-ring: at step t, device i holds the block of device (i + t) mod
+    D_k and contracts its own block against the visitor into one
+    (K_loc, K_loc) f64 Gram tile — after D_k steps each device owns its
+    full (K_loc, K) row-block of the Gram, which psums over 'n' and
+    assembles via the 'k'-sharded output spec.  Peak transient per device
+    is 2 x K_loc x N_loc (own + visiting block) instead of the previous
+    all_gather's K x N_loc — at the BASELINE stress shape (K=4096,
+    N=1e7, 2x4 mesh, stride-16 subsample) that is ~1.3 GB instead of
+    ~10 GB (see docs/scaling.md).  The ring traffic totals the same bytes
+    as the gather but is pipelined step-by-step against the MXU tiles.
+    Works on f32 hi planes with +PAD sentinels.
     """
     Dk = mesh.shape["k"]
 
@@ -433,21 +457,35 @@ def sharded2d_gram(u_sharded, N_k, f_k, mesh):
         w = jnp.exp(f_local[:, None] - u_local - logden[None, :])
         w = jnp.where(pad_col[None, :], jnp.zeros((), w.dtype), w)
 
-        w_all = jax.lax.all_gather(w, "k", tiled=True)  # (K, N_loc)
-        gram, colsum = _chunked_w_gram(w_all)
-        return gram[None], colsum[None]
+        perm = [(i, (i - 1) % Dk) for i in range(Dk)]
+        tiles = []
+        rot = w
+        for t in range(Dk):
+            # rot holds the W block of device (my_k + t) mod Dk
+            tiles.append(_chunked_pair_gram(w, rot))
+            if t < Dk - 1:
+                rot = jax.lax.ppermute(rot, "k", perm)
+        stacked = jnp.stack(tiles, axis=0)  # (Dk, K_loc, K_loc)
+        # Tile t belongs at column block j = (my_k + t) mod Dk:
+        # roll by my_k gives rolled[j] = stacked[(j - my_k) mod Dk].
+        my_k = jax.lax.axis_index("k")
+        rolled = jnp.roll(stacked, my_k, axis=0)
+        row_block = rolled.transpose(1, 0, 2).reshape(w.shape[0], -1)  # (K_loc, K)
+        row_block = jax.lax.psum(row_block, "n")
+        colsum = jax.lax.psum(jnp.sum(w.astype(jnp.float64), axis=1), "n")
+        return row_block, colsum
 
-    g_parts, c_parts = jax.shard_map(
+    gram, colsum = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("k", "n"), P("k"), P("k")),
-        out_specs=(P(("k", "n"), None, None), P(("k", "n"), None)),
+        out_specs=(P("k", None), P("k")),
     )(
         u_sharded,
         jax.device_put(jnp.asarray(N_k), NamedSharding(mesh, P("k"))),
         jax.device_put(jnp.asarray(f_k), NamedSharding(mesh, P("k"))),
     )
-    return jnp.sum(g_parts, axis=0) / Dk, jnp.sum(c_parts, axis=0) / Dk
+    return gram, colsum
 
 
 def sharded2d_solve_mbar(
@@ -514,9 +552,9 @@ def sharded2d_solve_mbar(
         f_new = f_new - f_new[0]
         f_new[K:] = 0.0
 
-        div = np.abs(f_new[1:K])
-        div[div < min(1.0e-8, tol)] = 1.0
-        max_delta = float(np.max(np.abs(f_new[1:K] - f[1:K]) / div))
+        max_delta, _ = host_adaptive_metrics(
+            f_new[:K], f[:K], f_new[:K], f_new[:K], tol
+        )
         f = f_new
         if max_delta < tol:
             success = True
@@ -629,36 +667,52 @@ def sharded_fused_lognum_dd(u_hi_s, u_lo_s, g_hi, g_lo, m_k, mesh, axis_name="n"
     return t_hi, ll + t_e
 
 
-def sharded_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, axis_name="n", fast=True):
-    """S_k = sum_n N_k W_nk over an n-sharded dd matrix.
+def sharded_wsum_dd(u_hi_s, u_lo_s, g_hi, g_lo, mesh, axis_name="n", fast=True, c=None):
+    """S_k = sum_n c_n N_k W_nk over an n-sharded dd matrix.
 
     Each device runs the one-exp-per-element wsum kernel on its local slab
     (Pallas on TPU, the jnp reference elsewhere); the per-device (K,) dd
     partial sums merge with exact dd adds.  Pad columns are masked inside
-    the kernels.  Communication: one K-sized all-gather per call.
+    the kernels.  ``c`` optionally supplies per-sample resample counts,
+    sharded along the same axis as the planes (bootstrap replicates —
+    see :func:`sharded_bootstrap_polish_dd`).  Communication: one K-sized
+    all-gather per call.
     """
     from pymbar_tpu.config import on_tpu
     from pymbar_tpu.ops.pallas_kernels import wsum_dd, wsum_dd_ref
 
     if on_tpu():
-        local = lambda uh, ul: wsum_dd(uh, ul, g_hi, g_lo, fast=fast)
+        local = lambda uh, ul, cc: wsum_dd(uh, ul, g_hi, g_lo, c=cc, fast=fast)
     else:
-        local = lambda uh, ul: wsum_dd_ref(uh, ul, g_hi, g_lo)
+        local = lambda uh, ul, cc: wsum_dd_ref(uh, ul, g_hi, g_lo, c=cc)
 
-    def body(uh, ul):
-        sh, sl = local(uh, ul)
-        return sh[None, :], sl[None, :]
+    if c is None:
+
+        def body(uh, ul):
+            sh, sl = local(uh, ul, None)
+            return sh[None, :], sl[None, :]
+
+        in_specs = (P(None, axis_name), P(None, axis_name))
+        args = (u_hi_s, u_lo_s)
+    else:
+
+        def body(uh, ul, cc):
+            sh, sl = local(uh, ul, cc)
+            return sh[None, :], sl[None, :]
+
+        in_specs = (P(None, axis_name), P(None, axis_name), P(axis_name))
+        args = (u_hi_s, u_lo_s, c)
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, axis_name), P(None, axis_name)),
+        in_specs=in_specs,
         out_specs=(P(axis_name, None), P(axis_name, None)),
         # pallas_call's ShapeDtypeStruct out_shape carries no vma metadata;
         # the varying-axis checker rejects it (jnp ref path is unaffected)
         check_vma=False,
     )
-    sh, sl = fn(u_hi_s, u_lo_s)  # (D, K) stacked partials
+    sh, sl = fn(*args)  # (D, K) stacked partials
     return _dd_combine_partials(sh, sl)
 
 
@@ -683,6 +737,129 @@ def _sharded_polish_while_dd(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "maxiter", "fast"),
+)
+def _sharded_polish_while_dd_w(
+    u_hi_s, u_lo_s, c_s, N_k64, f0, hinv, logN, tol, gamma,
+    mesh, axis_name, maxiter, fast,
+):
+    """Counts-weighted n-sharded dd Newton polish (bootstrap replicates):
+    the sharded twin of :func:`pymbar_tpu.solvers_large._polish_while_dd_w`.
+    ``c_s`` is the (N_padded,) f32 resample-count vector sharded along the
+    same axis as the planes (pad columns carry count 0)."""
+    from pymbar_tpu.solvers_large import _polish_loop
+
+    def _wsum(uh, ul, gh, gl):
+        return sharded_wsum_dd(uh, ul, gh, gl, mesh, axis_name, fast=fast, c=c_s)
+
+    return _polish_loop(
+        _wsum, u_hi_s, u_lo_s, N_k64, f0, hinv, logN, tol, gamma, maxiter
+    )
+
+
+def _sharded_gram_w(u_hi_s, c_s, N_k32, f32_val, mesh, axis_name="n"):
+    """Counts-weighted f32 Gram on an n-sharded hi plane: (W diag(c) W^T,
+    sum_n c_n W_nk), psum-combined.  Supplies the fallback chord factor for
+    a bootstrap replicate whose base-factor polish failed to contract."""
+
+    def _local(uh, cc, fv):
+        from pymbar_tpu.ops.mbar_core import _logden_direct
+
+        ld = _logden_direct(uh, N_k32, fv)
+        pad = _is_pad_col(uh)
+        ld = jnp.where(pad, jnp.float32(0.0), ld)
+        w = jnp.exp(fv[:, None] - uh - ld[None, :])
+        w = jnp.where(pad[None, :], jnp.float32(0.0), w)
+        gram, colsum = _chunked_w_gram(w, cc)
+        return gram[None], colsum[None]
+
+    g_parts, c_parts = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(axis_name), P()),
+        out_specs=(P(axis_name, None, None), P(axis_name, None)),
+    )(u_hi_s, c_s, _replicated(f32_val, mesh))
+    return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
+
+
+def sharded_bootstrap_polish_dd(
+    u_hi_s,
+    u_lo_s,
+    N_k,
+    f_k,
+    hinv,
+    counts,
+    mesh,
+    axis_name="n",
+    tol=1.0e-12,
+    maxiter=16,
+    fast_exp=True,
+    verbose=False,
+):
+    """Solve B bootstrap replicates on the resident n-sharded dd planes.
+
+    The mesh twin of :func:`pymbar_tpu.solvers_large.bootstrap_polish_dd`:
+    each replicate is a counts-weighted chord-Newton polish streaming the
+    SAME sharded planes (its (N,) count vector shards along 'n' with
+    zero-count pad columns), warm-started at the base solution with the
+    base solve's frozen factor.  No resampled matrix and no cross-device
+    sample movement ever happens — the only extra communication is the
+    (N/D,)-per-device count upload and the usual K-sized partial merges.
+    Reference semantics: /root/reference/pymbar/mbar.py:417-449.
+    Returns (f_boots (B, K) float64, n_fail).
+    """
+    import logging as _logging
+
+    from pymbar_tpu.solvers_large import _newton_factor, polish_to_host
+
+    logger = _logging.getLogger(__name__)
+    counts = np.asarray(counts)
+    B, N = counts.shape
+    Np = u_hi_s.shape[1]
+    K = u_hi_s.shape[0]
+    N_k64 = jnp.asarray(np.asarray(N_k), dtype=jnp.float64)
+    N_k32 = jnp.asarray(np.asarray(N_k), dtype=jnp.float32)
+    logN = jnp.log(N_k64)
+    f0 = jnp.asarray(np.asarray(f_k), jnp.float64)
+    f0 = f0 - f0[0]
+    tol_j = jnp.asarray(tol, jnp.float64)
+    gamma_j = jnp.asarray(1.0, jnp.float64)
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    f_boots = np.zeros((B, K))
+    n_fail = 0
+    for b in range(B):
+        c_pad = np.zeros(Np, dtype=np.float32)
+        c_pad[:N] = counts[b]
+        c_s = jax.device_put(c_pad, sharding)
+        f_b, _it, _g, _d, converged, _floor = polish_to_host(
+            _sharded_polish_while_dd_w(
+                u_hi_s, u_lo_s, c_s, N_k64, f0, hinv, logN, tol_j, gamma_j,
+                mesh, axis_name, maxiter, bool(fast_exp),
+            )
+        )
+        if not converged:
+            gram_b, colsum_b = _sharded_gram_w(
+                u_hi_s, c_s, N_k32, f_b.astype(jnp.float32), mesh, axis_name
+            )
+            hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
+            f_b, _it, _g, _d, converged, _floor = polish_to_host(
+                _sharded_polish_while_dd_w(
+                    u_hi_s, u_lo_s, c_s, N_k64, f_b, hinv_b, logN, tol_j,
+                    gamma_j, mesh, axis_name, maxiter, bool(fast_exp),
+                )
+            )
+        if not converged:
+            n_fail += 1
+        f_b = np.asarray(f_b)
+        f_boots[b] = f_b - f_b[0]
+        if verbose and (b + 1) % max(1, B // 10) == 0:
+            logger.info(f"Calculated {b + 1:d}/{B:d} bootstrap samples")
+    return f_boots, n_fail
+
+
 def sharded_solve_mbar_dd(
     u_hi,
     u_lo,
@@ -696,6 +873,7 @@ def sharded_solve_mbar_dd(
     gamma=1.0,
     fast_exp=True,
     axis_name="n",
+    return_state=False,
 ):
     """Multi-chip double-word MBAR solve: n-sharded planes, dd polish.
 
@@ -740,9 +918,10 @@ def sharded_solve_mbar_dd(
             f_old = np.asarray(f)
             f = f_sci if take_sci else f_nr
             sci_iter += int(take_sci)
-            f_np = np.asarray(f)
-            div = np.maximum(np.abs(f_np[1:]), 1.0)
-            if float(np.max(np.abs(f_np[1:] - f_old[1:]) / div)) < f32_tol:
+            max_delta, _ = host_adaptive_metrics(
+                f, f_old, f_sci, f_nr, f32_tol, delta_mode="mixed"
+            )
+            if max_delta < f32_tol:
                 break
         return f, its
 
@@ -854,7 +1033,7 @@ def sharded_solve_mbar_dd(
         it += it2
 
     gnorm = float(np.linalg.norm(np.asarray(g64))) if it else np.nan
-    return np.asarray(f64), dict(
+    info = dict(
         converged=converged,
         at_noise_floor=at_noise_floor,
         f32_iterations=int(it32),
@@ -864,7 +1043,13 @@ def sharded_solve_mbar_dd(
         gnorm=gnorm,
         phase1_s=t_phase1,
         phase2_s=time.time() - t_phase2,
+        hinv=hinv,
     )
+    if return_state:
+        # The sharded planes, for follow-on solves on the same data
+        # (bootstrap replicates) without a second host split + upload.
+        info["planes"] = (u_hi_s, u_lo_s)
+    return np.asarray(f64), info
 
 
 # ---------------------------------------------------------------------------
@@ -1070,8 +1255,10 @@ def sharded2d_solve_mbar_dd(
                 f_new = gx
             f_new = f_new - f_new[0]
             f_new[K:] = 0.0
-            div = np.maximum(np.abs(f_new[1:K]), 1.0)
-            max_delta = float(np.max(np.abs(f_new[1:K] - f[1:K]) / div))
+            max_delta, _ = host_adaptive_metrics(
+                f_new[:K], f[:K], f_new[:K], f_new[:K], tol_stop,
+                delta_mode="mixed",
+            )
             f = f_new
             if max_delta < tol_stop:
                 converged = True
@@ -1100,7 +1287,11 @@ def sharded2d_solve_mbar_dd(
     from pymbar_tpu.solvers_large import _newton_factor
 
     N_cols = int(np.asarray(u_hi).shape[1])
-    stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 16))
+    # Subsample down to ~32 samples/state (the chord factor only needs
+    # ~1e-2 relative accuracy — its 1/sqrt(n_sub/K) statistical error at 32
+    # samples/state matches the f32 Gram's own floor); the 64 cap bounds
+    # phase 1's distance from the full solution at huge N/K ratios.
+    stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 64))
     if stride2 > 1:
         Dn = mesh.shape["n"]
         sub = u_hi_s[:, ::stride2]
@@ -1199,7 +1390,8 @@ def sharded2d_solve_mbar_dd(
 
 
 def sharded_solve_mbar_for_all_states(
-    u_kn, N_k, f_k, states_with_samples, mesh=None, tol=1.0e-12, axis_name="n"
+    u_kn, N_k, f_k, states_with_samples, mesh=None, tol=1.0e-12,
+    axis_name="n", bootstrap_counts=None, verbose=False,
 ):
     """Multi-chip analog of ``solve_mbar_for_all_states`` — the MBAR class's
     sharded front door.
@@ -1210,6 +1402,11 @@ def sharded_solve_mbar_for_all_states(
     re-pin f_0 = 0.  The solve itself is the double-word n-sharded path
     (:func:`sharded_solve_mbar_dd`); the empty-state fill is one sharded
     fused pass.  Returns f_k (K,) float64.
+
+    With ``bootstrap_counts`` (a (B, N) resample-multiplicity matrix;
+    requires every state to have samples) the B replicates are also solved
+    on the SAME resident planes via :func:`sharded_bootstrap_polish_dd`,
+    and the return becomes (f_k, f_boots (B, K), n_fail).
     """
     from pymbar_tpu.solvers_large import split_u_kn_streamed
 
@@ -1221,6 +1418,13 @@ def sharded_solve_mbar_for_all_states(
     f_k = np.array(f_k, dtype=np.float64, copy=True)
     sws = np.asarray(states_with_samples)
 
+    if bootstrap_counts is not None and len(sws) < len(N_k):
+        raise ValueError(
+            "bootstrap_counts requires every state to have samples "
+            "(the class front door falls back to the sequential bootstrap "
+            "path for empty-state problems)"
+        )
+
     u_sub = u_kn[sws]
     # Per-sample shift (the MBAR equations are invariant under column
     # shifts) so the dd split sees small, cancellation-friendly values.
@@ -1231,7 +1435,7 @@ def sharded_solve_mbar_for_all_states(
     uh, ul = split_u_kn_streamed(u_sub)
     f_sub, info = sharded_solve_mbar_dd(
         uh, ul, N_k[sws], f_k=f_k[sws] - f_k[sws][0], mesh=mesh, tol=tol,
-        axis_name=axis_name,
+        axis_name=axis_name, return_state=bootstrap_counts is not None,
     )
     if not info.get("converged", False):
         import logging
@@ -1241,6 +1445,14 @@ def sharded_solve_mbar_for_all_states(
             f"(gnorm={info.get('gnorm', float('nan')):.3e})"
         )
     f_k[sws] = f_sub
+
+    if bootstrap_counts is not None:
+        u_hi_s, u_lo_s = info["planes"]
+        f_boots, n_fail = sharded_bootstrap_polish_dd(
+            u_hi_s, u_lo_s, N_k, f_sub, info["hinv"], bootstrap_counts,
+            mesh, axis_name=axis_name, tol=tol, verbose=verbose,
+        )
+        return f_k - f_k[0], f_boots, n_fail
 
     if len(sws) < len(N_k):
         # Empty-state fill: one SC update over all K states (empty states

@@ -143,6 +143,29 @@ def _adaptive_candidates(u_kn, N_k, f_k, gamma, nr_method="lstsq"):
     return f_sci, g_sci, gnorm_sci, f_nr, g_nr, gnorm_nr
 
 
+def host_adaptive_metrics(f_new, f_old, f_sci, f_nr, tol, delta_mode="relative"):
+    """Host (numpy) twin of :func:`_adaptive_metrics`.
+
+    Every host-orchestrated adaptive loop (the verbose path here, the
+    sharded f64 and f32 loops in :mod:`pymbar_tpu.parallel.sharding`) calls
+    this one function, so the convergence rule exists exactly twice in the
+    codebase — once traceable, once host — and the two are pinned equal by
+    ``tests/test_mbar_solvers.py``.  Returns ``(max_delta, max_diff)``.
+    """
+    f_new = np.asarray(f_new)
+    f_old = np.asarray(f_old)
+    f_sci = np.asarray(f_sci)
+    f_nr = np.asarray(f_nr)
+    if delta_mode == "mixed":
+        div = np.maximum(np.abs(f_new[1:]), 1.0)
+    else:
+        div = np.abs(f_new[1:]).copy()
+        div[div < min(1.0e-8, tol)] = 1.0
+    max_delta = float(np.max(np.abs(f_new[1:] - f_old[1:]) / div))
+    max_diff = float(np.max(np.abs(f_sci[1:] - f_nr[1:]) / div))
+    return max_delta, max_diff
+
+
 def _adaptive_metrics(f_new, f_old, f_sci, f_nr, tol, delta_mode="relative"):
     """Convergence metrics.
 
@@ -300,11 +323,7 @@ def adaptive(u_kn, N_k, f_k, tol=1.0e-8, options=None):
                 nr_iter += 1
                 logger.info(f"Newton-Raphson used on iteration {it - 1:d}")
 
-            f_new = np.asarray(f_k)
-            div = np.abs(f_new[1:])
-            div[div < min(1.0e-8, tol)] = 1.0
-            max_delta = np.max(np.abs(f_new[1:] - f_old[1:]) / div)
-            max_diff = np.max(np.abs(np.asarray(f_sci)[1:] - np.asarray(f_nr)[1:]) / div)
+            max_delta, max_diff = host_adaptive_metrics(f_k, f_old, f_sci, f_nr, tol)
             if np.isnan(max_delta) or (max_delta < tol and max_diff < np.sqrt(tol)):
                 success = True
                 break
@@ -397,9 +416,7 @@ def anderson(u_kn, N_k, f_k, tol=1.0e-12, options=None):
             f_new = gx
 
         f_new = f_new - f_new[0]
-        div = np.abs(f_new[1:])
-        div[div < min(1.0e-8, tol)] = 1.0
-        max_delta = float(np.max(np.abs(f_new[1:] - f[1:]) / div))
+        max_delta, _ = host_adaptive_metrics(f_new, f, f_new, f_new, tol)
         f = f_new
         if verbose:
             logger.info(f"anderson iteration {it}: max_delta = {max_delta:.3e}")
@@ -456,24 +473,9 @@ def solve_mbar_once(
         # the (hi, lo) f32 planes are built host-side, chunked, after a
         # host min-shift precondition (gradients are shift-invariant, and
         # the dd solver never consumes the objective value).
-        from pymbar_tpu.solvers_large import solve_mbar_dd
+        from pymbar_tpu.solvers_large import host_split_planes, solve_mbar_dd
 
-        u_np = np.asarray(u_kn_nonzero, dtype=np.float64)
-        shift = u_np.min(axis=0)
-        K_, N_ = u_np.shape
-        uh = np.empty((K_, N_), dtype=np.float32)
-        ul = np.empty((K_, N_), dtype=np.float32)
-        chunk = max(1, int(2**27 // max(K_, 1)))
-        # Pure-numpy split: pushing chunks through the device for the cast
-        # costs two full host<->device round trips of the matrix (minutes on
-        # a tunneled TPU frontend) for work the host does in seconds.
-        for s in range(0, N_, chunk):
-            blk = u_np[:, s : s + chunk] - shift[s : s + chunk][None, :]
-            bh = blk.astype(np.float32)
-            uh[:, s : s + chunk] = bh
-            ul[:, s : s + chunk] = (blk - bh.astype(np.float64)).astype(
-                np.float32
-            )
+        uh, ul = host_split_planes(u_kn_nonzero)
         opts = {
             k: options[k]
             for k in ("f32_tol", "f32_maxiter", "polish_maxiter", "gamma", "fast_exp")

@@ -42,7 +42,13 @@ from pymbar_tpu.solvers import _adaptive_while
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["solve_mbar_dd", "split_u_kn_streamed"]
+__all__ = [
+    "solve_mbar_dd",
+    "split_u_kn_streamed",
+    "host_split_planes",
+    "bootstrap_polish_dd",
+    "solve_mbar_dd_bootstrap",
+]
 
 # Below this many K x N plane elements (~0.5 GB of hi plane) the coarse
 # strided-subsample warm start is not worth its fixed costs and the f32
@@ -74,6 +80,30 @@ def _split_inplaceish(u64):
 def split_u_kn_streamed(u64):
     """Split a float64 u_kn into (hi, lo) f32 planes, donating the input."""
     return _split_inplaceish(jnp.asarray(u64))
+
+
+def host_split_planes(u_np):
+    """Host-side double-word split of a float64 u_kn into (hi, lo) planes.
+
+    Applies the per-sample min shift (gradients are shift-invariant and the
+    dd solvers never consume the objective value) and splits chunkwise in
+    pure numpy: pushing chunks through the device for the cast costs two
+    full host<->device round trips of the matrix (minutes on a tunneled TPU
+    frontend) for work the host does in seconds.  Returns (u_hi, u_lo) as
+    numpy float32 arrays.
+    """
+    u_np = np.asarray(u_np, dtype=np.float64)
+    shift = u_np.min(axis=0)
+    K_, N_ = u_np.shape
+    uh = np.empty((K_, N_), dtype=np.float32)
+    ul = np.empty((K_, N_), dtype=np.float32)
+    chunk = max(1, int(2**27 // max(K_, 1)))
+    for s in range(0, N_, chunk):
+        blk = u_np[:, s : s + chunk] - shift[s : s + chunk][None, :]
+        bh = blk.astype(np.float32)
+        uh[:, s : s + chunk] = bh
+        ul[:, s : s + chunk] = (blk - bh.astype(np.float64)).astype(np.float32)
+    return uh, ul
 
 
 def _newton_factor(gram, colsum, N_k64):
@@ -183,6 +213,143 @@ def _polish_while_dd(
     return _polish_loop(
         _wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter
     )
+
+
+@partial(jax.jit, static_argnames=("maxiter", "use_pallas", "fast"))
+def _polish_while_dd_w(
+    u_hi, u_lo, c, N_k64, f0, hinv, logN, tol, gamma,
+    maxiter, use_pallas, fast,
+):
+    """Counts-weighted single-device dd Newton polish (bootstrap replicates).
+
+    Identical to :func:`_polish_while_dd` except the wsum pass folds the
+    (N,) f32 resample counts c — the replicate's gradient is
+    g_k = sum_n c_n N_k W_nk - N_k on the SAME resident planes.  c is a
+    traced argument, so all replicates of a problem share one compilation.
+    """
+    _wsum = (
+        (lambda uh, ul, gh, gl: wsum_dd(uh, ul, gh, gl, c=c, fast=fast))
+        if use_pallas
+        else (lambda uh, ul, gh, gl: wsum_dd_ref(uh, ul, gh, gl, c=c))
+    )
+    return _polish_loop(
+        _wsum, u_hi, u_lo, N_k64, f0, hinv, logN, tol, gamma, maxiter
+    )
+
+
+def bootstrap_polish_dd(
+    u_hi,
+    u_lo,
+    N_k,
+    f_k,
+    hinv,
+    counts,
+    tol=1.0e-12,
+    maxiter=16,
+    gamma=1.0,
+    fast_exp=True,
+    verbose=False,
+):
+    """Solve B bootstrap replicates as counts-weighted dd chord-Newton polishes.
+
+    A bootstrap resample is the original dataset reweighted by integer
+    per-sample multiplicities, so each replicate streams the SAME (hi, lo)
+    planes through the weighted wsum kernel — no K x N resampled copy ever
+    exists, on host or device (the reference gathers one per replicate:
+    /root/reference/pymbar/mbar.py:417-449).  Each replicate warm-starts
+    from the base solution ``f_k`` and reuses the base solve's frozen chord
+    factor ``hinv``; the start error is the bootstrap fluctuation itself
+    (~1/sqrt(N_k)), so ~5-8 passes reach the ~1e-12 floor.  A replicate
+    whose polish fails to contract retries once with a fresh
+    counts-weighted f32-Gram factor.
+
+    Parameters: ``counts`` is (B, N) integer-valued resample multiplicities
+    (rows sum to N, per-state block sums to N_k).  Returns
+    (f_boots (B, K) float64, n_fail).
+    """
+    u_hi = jnp.asarray(u_hi)
+    u_lo = jnp.asarray(u_lo)
+    counts = np.asarray(counts)
+    B = counts.shape[0]
+    K = u_hi.shape[0]
+    N_k64 = jnp.asarray(np.asarray(N_k), dtype=jnp.float64)
+    logN = jnp.log(N_k64)
+    f0 = jnp.asarray(np.asarray(f_k), jnp.float64)
+    f0 = f0 - f0[0]
+    tol_j = jnp.asarray(tol, jnp.float64)
+    gamma_j = jnp.asarray(gamma, jnp.float64)
+    use_pallas = on_tpu()
+
+    f_boots = np.zeros((B, K))
+    n_fail = 0
+    for b in range(B):
+        c = jnp.asarray(counts[b], jnp.float32)
+        f_b, it, _g, _deltas, converged, _floor = polish_to_host(
+            _polish_while_dd_w(
+                u_hi, u_lo, c, N_k64, f0, hinv, logN, tol_j, gamma_j,
+                maxiter, use_pallas, bool(fast_exp),
+            )
+        )
+        if not converged:
+            # Fresh factor from the replicate's own weighted f32 Gram at the
+            # current iterate, one retry (rare: base factor failed to
+            # contract an unusually far replicate).
+            gram_b, colsum_b = gram_f32_acc64(
+                u_hi, N_k64.astype(jnp.float32), f_b.astype(jnp.float32), c
+            )
+            hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
+            f_b, it2, _g, _d2, converged, _floor = polish_to_host(
+                _polish_while_dd_w(
+                    u_hi, u_lo, c, N_k64, f_b, hinv_b, logN, tol_j, gamma_j,
+                    maxiter, use_pallas, bool(fast_exp),
+                )
+            )
+        if not converged:
+            n_fail += 1
+        f_boots[b] = np.asarray(f_b)
+        if verbose and (b + 1) % max(1, B // 10) == 0:
+            logger.info(f"Calculated {b + 1:d}/{B:d} bootstrap samples")
+    return f_boots, n_fail
+
+
+def solve_mbar_dd_bootstrap(
+    u_kn, N_k, f_k, counts, tol=1.0e-12, options=None, verbose=False
+):
+    """Combined base solve + bootstrap replicates on one set of dd planes.
+
+    The GB-scale front door for ``MBAR(u_kn, N_k, n_bootstraps=...)`` when
+    the solve auto-routes to the dd path: the planes are host-split ONCE,
+    the base problem solves with :func:`solve_mbar_dd`, and every replicate
+    rides :func:`bootstrap_polish_dd` on the same resident planes with the
+    base chord factor.  All states must have samples.  Returns
+    (f_k, f_boots, n_fail, info).
+    """
+    options = dict(options or {})
+    uh, ul = host_split_planes(u_kn)
+    uh = jnp.asarray(uh)
+    ul = jnp.asarray(ul)
+    f_sol, info = solve_mbar_dd(
+        uh, ul, N_k, f_k=np.asarray(f_k) - np.asarray(f_k)[0], tol=tol,
+        **{
+            k: options[k]
+            for k in ("f32_tol", "f32_maxiter", "polish_maxiter", "gamma", "fast_exp")
+            if k in options
+        },
+    )
+    f_sol = f_sol - f_sol[0]
+    f_boots, n_fail = bootstrap_polish_dd(
+        uh,
+        ul,
+        N_k,
+        f_sol,
+        info["hinv"],
+        counts,
+        tol=tol,
+        fast_exp=options.get("fast_exp", True),
+        verbose=verbose,
+    )
+    f_boots = f_boots - f_boots[:, :1]
+    return f_sol, f_boots, n_fail, info
 
 
 def polish_to_host(polish_results):
@@ -424,4 +591,7 @@ def solve_mbar_dd(
         gnorm=gnorm,
         phase1_s=t_phase1,
         phase2_s=time.time() - t_phase2,
+        # The frozen chord factor, for warm-started follow-on solves
+        # (bootstrap replicates reuse it: bootstrap_polish_dd).
+        hinv=hinv,
     )

@@ -20,7 +20,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _doctest_modules():
+    import pymbar_tpu.fes
+    import pymbar_tpu.mbar
     import pymbar_tpu.other_estimators
+    import pymbar_tpu.solvers
     import pymbar_tpu.testsystems.exponential_distributions
     import pymbar_tpu.testsystems.gaussian_work
     import pymbar_tpu.testsystems.harmonic_oscillators
@@ -29,6 +32,9 @@ def _doctest_modules():
     import pymbar_tpu.utils
 
     return [
+        pymbar_tpu.mbar,
+        pymbar_tpu.fes,
+        pymbar_tpu.solvers,
         pymbar_tpu.testsystems.harmonic_oscillators,
         pymbar_tpu.testsystems.exponential_distributions,
         pymbar_tpu.testsystems.gaussian_work,

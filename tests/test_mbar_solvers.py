@@ -179,3 +179,48 @@ def test_dd_solver_method_through_mbar():
     m_dd = MBAR(u_kn, N_k_output, solver_protocol=({"method": "dd"},))
     m_def = MBAR(u_kn, N_k_output)
     assert np.max(np.abs(m_dd.f_k - m_def.f_k)) < 1e-7
+
+
+def test_host_and_device_adaptive_metrics_agree():
+    """The convergence rule exists exactly twice (traceable + host); pin the
+    two implementations equal on randomized inputs, both metric modes."""
+    from pymbar_tpu.solvers import _adaptive_metrics, host_adaptive_metrics
+
+    rng = np.random.default_rng(5)
+    for mode in ("relative", "mixed"):
+        for tol in (1.0e-8, 1.0e-12):
+            for _ in range(5):
+                f_old = rng.normal(0, 3, 12)
+                f_new = f_old + rng.normal(0, 1e-4, 12)
+                f_sci = f_new + rng.normal(0, 1e-5, 12)
+                f_nr = f_new + rng.normal(0, 1e-5, 12)
+                # include a near-zero entry to exercise the small-divisor rule
+                f_new[3] = rng.normal(0, 1e-10)
+                d_dev, x_dev = _adaptive_metrics(
+                    jnp.asarray(f_new), jnp.asarray(f_old),
+                    jnp.asarray(f_sci), jnp.asarray(f_nr), tol, mode,
+                )
+                d_host, x_host = host_adaptive_metrics(
+                    f_new, f_old, f_sci, f_nr, tol, mode
+                )
+                np.testing.assert_allclose(float(d_dev), d_host, rtol=1e-12)
+                np.testing.assert_allclose(float(x_dev), x_host, rtol=1e-12)
+
+
+def test_adaptive_verbose_matches_quiet(base_oscillator, caplog):
+    """The verbose host loop and the on-device while_loop are two
+    implementations of the same iteration; they must land on the same f_k."""
+    import logging
+
+    U, N_k = base_oscillator["u_kn"], base_oscillator["N_k"]
+    u_dev, N_dev, f_dev = _as_dev(U, N_k, np.zeros(len(N_k)))
+    quiet = mbar_solvers.adaptive(u_dev, N_dev, f_dev, tol=1e-12)
+    with caplog.at_level(logging.INFO, logger="pymbar_tpu.solvers"):
+        loud = mbar_solvers.adaptive(u_dev, N_dev, f_dev, tol=1e-12,
+                                     options=dict(verbose=True))
+    assert quiet["success"] and loud["success"]
+    np.testing.assert_allclose(
+        np.asarray(quiet["x"]), np.asarray(loud["x"]), atol=1e-13, rtol=0
+    )
+    # the reference's per-iteration diagnostics must actually be emitted
+    assert any("gradient norm" in r.message for r in caplog.records)

@@ -414,3 +414,177 @@ def test_sharded_reductions_keep_high_energy_real_samples():
     assert_allclose(float(obj_s), float(obj_1), rtol=1e-12)
     assert_allclose(np.asarray(g_s), np.asarray(g_1), rtol=1e-10, atol=1e-10)
     assert_allclose(np.asarray(fs_s), np.asarray(fs_1), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap at the dd/mesh scale: replicates as counts-weighted polishes on
+# the resident planes (VERDICT r2 item 1).  The gate: same seed => same
+# resample stream => the dd/mesh bootstrap f_k_boots equal the plain
+# single-device bootstrap's to solver tolerance.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boot_problem():
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([400, 300, 350, 250], mode="u_kn", seed=11)
+    return u_kn, np.array([400, 300, 350, 250], dtype=int)
+
+
+def test_bootstrap_dd_protocol_matches_plain(boot_problem):
+    """MBAR(solver_protocol='dd', n_bootstraps=B) rides the counts-weighted
+    wsum path; same rseed must reproduce the default-protocol bootstrap's
+    replicate free energies to solver tolerance."""
+    u_kn, N_k = boot_problem
+    B = 12
+    m_plain = MBAR(u_kn, N_k, n_bootstraps=B, rseed=99)
+    m_dd = MBAR(
+        u_kn, N_k, n_bootstraps=B, rseed=99,
+        solver_protocol=({"method": "dd"},),
+    )
+    # identical resample streams
+    assert np.array_equal(m_plain.bootstrap_rints, m_dd.bootstrap_rints)
+    assert_allclose(m_dd.f_k_boots, m_plain.f_k_boots, atol=5e-8, rtol=0)
+    # and identical bootstrap uncertainties downstream
+    s_plain = m_plain.compute_free_energy_differences(uncertainty_method="bootstrap")
+    s_dd = m_dd.compute_free_energy_differences(uncertainty_method="bootstrap")
+    assert_allclose(s_dd["dDelta_f"], s_plain["dDelta_f"], atol=1e-8, rtol=0)
+
+
+def test_bootstrap_mesh_matches_plain(boot_problem):
+    """MBAR(mesh=..., n_bootstraps=B): replicates solve on the sharded
+    planes (sharded_bootstrap_polish_dd); same-seed equivalence vs the
+    single-device bootstrap."""
+    u_kn, N_k = boot_problem
+    B = 12
+    m_plain = MBAR(u_kn, N_k, n_bootstraps=B, rseed=42)
+    m_mesh = MBAR(u_kn, N_k, n_bootstraps=B, rseed=42, mesh=default_mesh(8))
+    assert np.array_equal(m_plain.bootstrap_rints, m_mesh.bootstrap_rints)
+    assert_allclose(m_mesh.f_k, m_plain.f_k, atol=1e-9, rtol=0)
+    assert_allclose(m_mesh.f_k_boots, m_plain.f_k_boots, atol=5e-8, rtol=0)
+
+
+def test_bootstrap_mesh_empty_state_falls_back(boot_problem):
+    """With an empty state the mesh bootstrap cannot take the counts route;
+    the class falls back to per-replicate solves and still reproduces the
+    single-device stream."""
+    u_kn, N_k = boot_problem
+    u_aug = np.insert(u_kn, 2, u_kn[1] + 0.7, axis=0)
+    N_aug = np.insert(N_k, 2, 0)
+    B = 6
+    m_plain = MBAR(u_aug, N_aug, n_bootstraps=B, rseed=13)
+    m_mesh = MBAR(u_aug, N_aug, n_bootstraps=B, rseed=13, mesh=default_mesh(8))
+    assert_allclose(m_mesh.f_k_boots, m_plain.f_k_boots, atol=5e-7, rtol=0)
+
+
+def test_sharded_weighted_wsum_matches_resample(problem):
+    """sharded_wsum_dd with counts == unweighted wsum on the explicitly
+    resampled matrix (exact reweighting identity), across shard counts."""
+    from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
+    from pymbar_tpu.ops.pallas_kernels import wsum_dd_ref
+    from pymbar_tpu.parallel.sharding import shard_dd_planes, sharded_wsum_dd
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    u_kn, N_k, f_k, _ = problem
+    rng = np.random.default_rng(3)
+    N = u_kn.shape[1]
+    r = rng.integers(0, N, N)
+    c = np.bincount(r, minlength=N).astype(np.float32)
+
+    u_pre = u_kn - u_kn.min(axis=0, keepdims=True)
+    uh = u_pre.astype(np.float32)
+    ul = (u_pre - uh.astype(np.float64)).astype(np.float32)
+    gh, gl = dd_from_f64(jnp.asarray(f_k + np.log(N_k)))
+
+    # truth: unweighted wsum on the gathered resample
+    ur = u_pre[:, r]
+    urh = ur.astype(np.float32)
+    url = (ur - urh.astype(np.float64)).astype(np.float32)
+    Sh, Sl = wsum_dd_ref(jnp.asarray(urh), jnp.asarray(url), gh, gl)
+    S_true = np.asarray(dd_to_f64(Sh, Sl))
+
+    for n_dev in (2, 8):
+        mesh = default_mesh(n_dev)
+        uh_s, ul_s, n_pad = shard_dd_planes(uh, ul, mesh)
+        c_pad = np.concatenate([c, np.zeros(n_pad, np.float32)])
+        c_s = jax.device_put(c_pad, NamedSharding(mesh, P("n")))
+        Th, Tl = sharded_wsum_dd(uh_s, ul_s, gh, gl, mesh, c=c_s)
+        S_sh = np.asarray(dd_to_f64(Th, Tl))
+        assert_allclose(S_sh, S_true, rtol=1e-12, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Memory-meaningful virtual-mesh gates (VERDICT r2 item 4): the dd sharded
+# paths at shapes where layout/padding/combine bugs actually surface
+# (hundreds of MB of planes), asserted against true-f64 first-order
+# conditions.  Shapes are sized for the single-core CI box (~1-2 min each);
+# the kernels' per-element math is identical at any scale, so these gates
+# exercise every packing/collective path the hardware run would.
+# ---------------------------------------------------------------------------
+
+
+def _scaled_problem(K, n_per, seed=0):
+    rng = np.random.default_rng(seed)
+    O = np.linspace(0.0, 4.0, K)
+    Kf = np.linspace(1.0, 3.0, K)
+    x = (O[:, None] + rng.normal(size=(K, n_per)) / np.sqrt(Kf)[:, None]).reshape(-1)
+    u = 0.5 * Kf[:, None] * (x[None, :] - O[:, None]) ** 2
+    N_k = np.full(K, float(n_per))
+    return u, N_k
+
+
+@pytest.mark.nightly
+def test_scaled_1d_dd_solve_first_order_conditions():
+    """1-D sharded dd solve at K=512 x N=307200 (1.2 GB f64-equivalent of
+    planes; the coarse-subsample warm start engages): the converged f_k
+    must satisfy the TRUE float64 first-order conditions, not merely the
+    dd solver's own certificate."""
+    from pymbar_tpu.ops.mbar_core import mbar_gradient, self_consistent_update
+    from pymbar_tpu.parallel.sharding import sharded_solve_mbar_dd
+    from pymbar_tpu.solvers_large import COARSE_MIN_ELEMS
+
+    K, n_per = 512, 600
+    u, N_k = _scaled_problem(K, n_per, seed=21)
+    u_pre = u - u.min(axis=0, keepdims=True)
+    uh = u_pre.astype(np.float32)
+    ul = (u_pre - uh.astype(np.float64)).astype(np.float32)
+    assert uh.size >= COARSE_MIN_ELEMS  # the coarse phase must engage
+
+    mesh = default_mesh(8)
+    f, info = sharded_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info["converged"]
+    assert info["f32_coarse_iterations"] > 0  # coarse path exercised
+
+    # true-f64 gradient at the dd answer
+    u64 = jnp.asarray(uh.astype(np.float64) + ul.astype(np.float64))
+    g = np.asarray(mbar_gradient(u64, jnp.asarray(N_k), jnp.asarray(f)))
+    assert np.linalg.norm(g) / n_per < 1e-9
+    # SC fixed point in f64
+    f_sci = np.array(self_consistent_update(u64, N_k, f))
+    f_sci -= f_sci[0]
+    assert np.max(np.abs(f_sci - f)) < 1e-9
+
+
+@pytest.mark.nightly
+def test_scaled_2d_dd_solve_first_order_conditions():
+    """2-D (k, n)-mesh dd solve at K=4096 x N=65536 (the k-blocked kernel
+    route, ring chord factor, dd collectives — 2.1 GB of f64-equivalent
+    planes): true-f64 first-order conditions at the answer."""
+    from pymbar_tpu.ops.mbar_core import mbar_gradient
+    from pymbar_tpu.parallel.sharding import mesh_2d, sharded2d_solve_mbar_dd
+
+    K, n_per = 4096, 16
+    u, N_k = _scaled_problem(K, n_per, seed=22)
+    u_pre = u - u.min(axis=0, keepdims=True)
+    uh = u_pre.astype(np.float32)
+    ul = (u_pre - uh.astype(np.float64)).astype(np.float32)
+
+    mesh = mesh_2d(4, 2)
+    f, info = sharded2d_solve_mbar_dd(uh, ul, N_k, mesh=mesh)
+    assert info["converged"]
+
+    u64 = jnp.asarray(uh.astype(np.float64) + ul.astype(np.float64))
+    g = np.asarray(mbar_gradient(u64, jnp.asarray(N_k), jnp.asarray(f)))
+    # N_k = 16/state: the dd noise floor in f is ~1e-12 absolute, so the
+    # per-sample gradient certificate is the right scale-free assertion.
+    assert np.linalg.norm(g) / n_per < 1e-9
