@@ -73,13 +73,22 @@ def _symmetric_corr(dA_n, dB_n):
     return c_ab + _fft_cross_corr(dB_n, dA_n)
 
 
-def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False):
+def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False, method="auto"):
     """g = 1 + 2 tau from the normalized fluctuation (cross-)correlation.
 
     Accumulation terminates at the first non-positive C(t) past ``mintime``;
     ``fast`` grows the lag stride by 1 each step; g >= 1 is enforced
-    (reference timeseries.py:83-203).  The correlation function itself is
-    computed by FFT rather than a per-lag loop.
+    (reference timeseries.py:83-203).
+
+    ``method`` selects how the correlation values are produced:
+
+    * ``"fft"`` — all lags precomputed with one FFT correlation
+      (O(N log N)); matches the direct accumulation to ~1e-10 relative.
+    * ``"direct"`` — the reference's literal per-lag accumulation
+      (bitwise-identical operation order; early exit costs only the lags
+      actually visited).
+    * ``"auto"`` (default) — ``"direct"`` when ``fast`` (which visits only
+      ~sqrt(N) lags, cheaper than a full FFT), else ``"fft"``.
     """
     A_n = np.array(A_n)
     if fft and B_n is None:
@@ -93,6 +102,36 @@ def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False):
 
     dA_n = A_n.astype(np.float64) - A_n.mean()
     dB_n = B_n.astype(np.float64) - B_n.mean()
+
+    if method == "auto":
+        method = "direct" if fast else "fft"
+
+    if method == "direct":
+        # Reference-parity path: the same operations in the same order as
+        # /root/reference/pymbar/timeseries.py:155-203, so results are
+        # bit-identical, with the early exit saving the unvisited lags.
+        sigma2_AB = (dA_n * dB_n).mean()
+        if sigma2_AB == 0:
+            raise ParameterError(
+                "Sample covariance sigma_AB^2 = 0 -- cannot compute statistical inefficiency"
+            )
+        g = 1.0
+        t = 1
+        increment = 1
+        while t < N - 1:
+            C = np.sum(dA_n[0 : (N - t)] * dB_n[t:N] + dB_n[0 : (N - t)] * dA_n[t:N]) / (
+                2.0 * float(N - t) * sigma2_AB
+            )
+            if (C <= 0.0) and (t > mintime):
+                break
+            g += 2.0 * C * (1.0 - float(t) / float(N)) * float(increment)
+            t += increment
+            if fast:
+                increment += 1
+        return max(g, 1.0)
+
+    if method != "fft":
+        raise ParameterError(f"method must be 'auto', 'fft' or 'direct', got {method!r}")
 
     sigma2_AB = np.dot(dA_n, dB_n) / len(dA_n)
     if sigma2_AB == 0:

@@ -618,3 +618,34 @@ def test_compute_covariance_of_sums_matches_reference(ref_pymbar, seed):
     r_ours = ours.compute_covariance_of_sums(d_ij, K_chunk, a)
     r_ref = theirs.compute_covariance_of_sums(d_ij, K_chunk, a)
     np.testing.assert_allclose(r_ours, r_ref, atol=1e-12, rtol=1e-10)
+
+
+@pytest.mark.parametrize("seed", [103, 107])
+@pytest.mark.parametrize("fast", [False, True])
+def test_statistical_inefficiency_direct_is_bitwise(ref_pymbar, seed, fast):
+    """method='direct' reproduces the reference's per-lag accumulation
+    BIT-IDENTICALLY (same operations, same order) — the literal parity
+    path SURVEY §2.4 promised; the FFT default matches it to 1e-8."""
+    from pymbar_tpu import timeseries as ts
+
+    rng = np.random.default_rng(seed)
+    # AR(1) with tau ~ 4
+    N = 4000
+    rho = np.exp(-1.0 / 4.0)
+    x = np.empty(N)
+    x[0] = rng.normal()
+    for i in range(1, N):
+        x[i] = rho * x[i - 1] + np.sqrt(1 - rho**2) * rng.normal()
+
+    g_direct = ts.statistical_inefficiency(x, fast=fast, method="direct")
+    g_ref = ref_pymbar.timeseries.statistical_inefficiency(x, fast=fast)
+    assert g_direct == g_ref  # bitwise
+
+    g_fft = ts.statistical_inefficiency(x, fast=fast, method="fft")
+    np.testing.assert_allclose(g_fft, g_ref, rtol=1e-8)
+
+    # cross-correlation variant too
+    y = x + 0.1 * rng.normal(size=N)
+    g_direct_xy = ts.statistical_inefficiency(x, y, fast=fast, method="direct")
+    g_ref_xy = ref_pymbar.timeseries.statistical_inefficiency(x, y, fast=fast)
+    assert g_direct_xy == g_ref_xy

@@ -21,6 +21,11 @@ EXAMPLES = [
     "heat_capacity.py",
     "parallel_tempering_2dfes.py",
     "constant_force_optical_trap.py",
+    # Published-data workflow: analyzes the reference tree's bundled
+    # lysozyme umbrella-sampling dataset in place (skips itself cleanly
+    # when the dataset isn't mounted) and asserts 1e-8 agreement with the
+    # reference package on identical data.
+    "umbrella_sampling_real_data.py",
 ]
 
 
