@@ -49,7 +49,10 @@ __all__ = ["MBAR"]
 # augmented-state machinery over n-chunks on device instead of building the
 # N x (K+NL+S) host matrix (which is 160+ GB at the K=1024 x N=1e7 target).
 _AUG_STREAM_BYTES = 512 * 2**20
-_AUG_CHUNK_BYTES = 128 * 2**20
+# 256 MB chunks: big enough that per-chunk dispatch latency (30-40 ms on a
+# tunneled TPU frontend) amortizes against the chunk's compute, small
+# enough that the emulated-f64 logden temporaries stay ~1.5 GB.
+_AUG_CHUNK_BYTES = 256 * 2**20
 
 
 @_functools.partial(_jax.jit, static_argnames=())
