@@ -56,21 +56,32 @@ _AUG_CHUNK_BYTES = 256 * 2**20
 
 
 @_functools.partial(_jax.jit, static_argnames=())
-def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx):
+def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
     """One chunk of the augmented-state log-normalizer reductions (pass A of
     _expectations_streamed).  Module-level jit: closures created per call
-    would recompile the chunk kernel on every public expectations call."""
+    would recompile the chunk kernel on every public expectations call.
+
+    ``c`` optionally supplies per-sample resample counts — the reductions
+    become counts-weighted sums over the SAME columns, which is exactly a
+    bootstrap replicate's reduction (evaluated at the replicate's f via
+    ``fs``); no resampled matrix is gathered.
+    """
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
     ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
     a_l = -ul_c - ld[None, :]  # (NL, nc)
     m_l = jnp.max(a_l, axis=1)
     m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
-    s_l = jnp.sum(jnp.exp(a_l - m_l_safe[:, None]), axis=1)
+    e_l = jnp.exp(a_l - m_l_safe[:, None])
     a_s = la_c + jnp.take(a_l, lidx, axis=0)  # (S, nc)
     m_s = jnp.max(a_s, axis=1)
     m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
-    s_s = jnp.sum(jnp.exp(a_s - m_s_safe[:, None]), axis=1)
+    e_s = jnp.exp(a_s - m_s_safe[:, None])
+    if c is not None:
+        e_l = e_l * c[None, :]
+        e_s = e_s * c[None, :]
+    s_l = jnp.sum(e_l, axis=1)
+    s_s = jnp.sum(e_s, axis=1)
     return m_l, s_l, m_s, s_s
 
 
@@ -910,21 +921,23 @@ class MBAR:
 
         # At scale the N x msize augmented matrix cannot exist (160+ GB at
         # the K=1024 x N=1e7 target): stream the whole machinery over
-        # n-chunks on device instead.  The 'svd' estimator and the
-        # bootstrap branch keep the materializing path (svd needs W itself;
-        # bootstrap re-solves are small-N workflows).
+        # n-chunks on device instead, including bootstrap replicates (one
+        # counts-weighted pass-A per replicate — no resampled matrix).
+        # Only the 'svd' estimator keeps the materializing path (it needs
+        # the SVD of W itself; it exists for small-scale cross-validation).
         if (
             self.u_kn.nbytes >= _AUG_STREAM_BYTES
-            and uncertainty_method != "bootstrap"
             and uncertainty_method != "svd"
+            and (uncertainty_method != "bootstrap" or self.n_bootstraps > 0)
             # every caller builds contiguous extra states; anything else
             # keeps the reference's materializing path
             and np.array_equal(np.asarray(L_list), np.arange(NL))
             and u_ln.shape[0] == NL
         ):
-            f_aug, Theta_ij = self._expectations_streamed(
+            f_aug, Theta_ij, boot = self._expectations_streamed(
                 A_n, u_ln, state_map, S, L_list,
                 method=uncertainty_method, need_theta=return_theta,
+                bootstrap=uncertainty_method == "bootstrap",
             )
             A_i = np.exp(-f_aug[K + NL : K + NL + S])
             if S > 0:
@@ -932,6 +945,15 @@ class MBAR:
                     A_min[state_map[1, :S]] - logfactors[state_map[1, :S]]
                 )
             result_vals["f"] = f_aug[K + state_list]
+            if boot is not None:
+                A_boot, logC_boot = boot
+                if S > 0:
+                    result_vals["bootstrapped_observables"] = A_boot + (
+                        A_min[state_map[1, :S]] - logfactors[state_map[1, :S]]
+                    )[None, :]
+                else:
+                    result_vals["bootstrapped_observables"] = A_boot
+                result_vals["bootstrapped_f"] = logC_boot[:, state_list]
             if return_theta:
                 si = K + NL + np.arange(S) if S > 0 else np.zeros(0, dtype=int)
                 li = K + state_list
@@ -1045,7 +1067,10 @@ class MBAR:
 
         return result_vals
 
-    def _expectations_streamed(self, A_n, u_ln, state_map, S, L_list, method, need_theta):
+    def _expectations_streamed(
+        self, A_n, u_ln, state_map, S, L_list, method, need_theta,
+        bootstrap=False,
+    ):
         """Augmented-state expectations without the N x (K+NL+S) matrix.
 
         Same algebra as the materializing branch (reference mbar.py:732-1030)
@@ -1059,9 +1084,17 @@ class MBAR:
           augmented weight slab in log space on device and accumulates the
           (K+NL+S)^2 Gram, column sums and row-normalization aggregates.
 
+        With ``bootstrap=True`` pass A additionally runs once per replicate
+        in counts-weighted form: a resample's reductions are sums over the
+        SAME columns weighted by the resample multiplicities, evaluated at
+        the replicate's f_k — so bootstrap uncertainties of expectations
+        work at any scale with no resampled matrix (the reference gathers
+        one per replicate, mbar.py:897-967).
+
         Peak memory is one n-chunk; at the K=1024 x N=1e7 target the host
         path's augmented matrix alone would be 160+ GB.  Returns
-        (f_aug (msize,), Theta or None).
+        (f_aug (msize,), Theta or None, boot or None) with boot =
+        (A_i_bootstrap_raw (B, S), logC_bootstrap (B, NL)).
         """
         from pymbar_tpu.config import on_tpu
 
@@ -1085,9 +1118,6 @@ class MBAR:
         nc = max(1, int(_AUG_CHUNK_BYTES // (8 * max(K, 1))))
         starts = list(range(0, N, nc))
 
-        def pass_a(u_c, ul_c, la_c):
-            return _aug_pass_a(u_c, ul_c, la_c, sws_dev, Ns_dev, fs_dev, lidx_dev)
-
         def combine(m, s, m_c, s_c):
             m_new = np.maximum(m, m_c)
             safe = np.where(np.isfinite(m_new), m_new, 0.0)
@@ -1096,33 +1126,55 @@ class MBAR:
         with np.errstate(divide="ignore"):
             logA = np.log(A_n) if S > 0 else np.zeros((0, N))
 
-        m_l = np.full(NL, -np.inf)
-        s_l = np.zeros(NL)
-        m_s = np.full(S, -np.inf)
-        s_s = np.zeros(S)
-        for c0 in starts:
-            c1 = min(c0 + nc, N)
-            ml_c, sl_c, ms_c, ss_c = pass_a(
-                jnp.asarray(self.u_kn[:, c0:c1]),
-                jnp.asarray(u_ln[:, c0:c1]),
-                jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
-            )
-            with np.errstate(invalid="ignore"):
-                m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
-                m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+        def run_pass_a(fs_values, counts=None):
+            """(log_C (NL,), f_sa (S,)) at the given sampled-state f values,
+            optionally counts-weighted (one streamed pass over u_kn)."""
+            m_l = np.full(NL, -np.inf)
+            s_l = np.zeros(NL)
+            m_s = np.full(S, -np.inf)
+            s_s = np.zeros(S)
+            for c0 in starts:
+                c1 = min(c0 + nc, N)
+                c_c = None if counts is None else jnp.asarray(counts[c0:c1])
+                ml_c, sl_c, ms_c, ss_c = _aug_pass_a(
+                    jnp.asarray(self.u_kn[:, c0:c1]),
+                    jnp.asarray(u_ln[:, c0:c1]),
+                    jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                    sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
+                )
+                with np.errstate(invalid="ignore"):
+                    m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                    m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+            with np.errstate(divide="ignore"):
+                log_C = -(np.log(s_l) + m_l)  # (NL,)
+                R_s = np.log(s_s) + m_s  # (S,)
+            f_sa = -(log_C[l_of_s] + R_s) if S > 0 else np.zeros(0)
+            return log_C, f_sa
 
-        with np.errstate(divide="ignore"):
-            log_C = -(np.log(s_l) + m_l)  # (NL,)
-            R_s = np.log(s_s) + m_s  # (S,)
-        f_sa = -(log_C[l_of_s] + R_s) if S > 0 else np.zeros(0)
+        log_C, f_sa = run_pass_a(fs_dev)
 
         f_aug = np.zeros(msize)
         f_aug[:K] = self.f_k
         f_aug[K : K + NL] = log_C  # L_list == arange(NL), checked by the router
         f_aug[K + NL :] = f_sa
 
+        boot = None
+        if bootstrap:
+            B = self.n_bootstraps
+            A_boot = np.zeros((B, S))
+            logC_boot = np.zeros((B, NL))
+            for b in range(B):
+                counts_b = np.bincount(
+                    self.bootstrap_rints[b], minlength=N
+                ).astype(np.float64)
+                fs_b = jnp.asarray(self.f_k_boots[b][sws])
+                logC_b, f_sa_b = run_pass_a(fs_b, counts_b)
+                logC_boot[b] = logC_b
+                A_boot[b] = np.exp(-f_sa_b)
+            boot = (A_boot, logC_boot)
+
         if not need_theta:
-            return f_aug, None
+            return f_aug, None, boot
 
         # ---- pass B: augmented Gram + normalization aggregates.
         compute_dtype = jnp.float32 if on_tpu() else jnp.float64
@@ -1162,11 +1214,11 @@ class MBAR:
         self._check_normalized_aggregates(colsum, (n_bad, first_bad, first_val))
 
         if method == "approximate":
-            return f_aug, gram
-        # default / svd-ew
+            return f_aug, gram, boot
+        # default / svd-ew (the reference maps method='bootstrap' here too)
         N_aug = np.zeros(msize)
         N_aug[:K] = self.N_k
-        return f_aug, self._theta_svd_ew_from_gram(gram, N_aug)
+        return f_aug, self._theta_svd_ew_from_gram(gram, N_aug), boot
 
     def compute_covariance_of_sums(self, d_ij, K, a):
         """Uncertainty of weighted sums of free-energy differences.

@@ -478,3 +478,40 @@ def test_streamed_expectations_match_materialized(bundle_ho, monkeypatch):
                 atol=1e-10,
                 err_msg=f"{key}.{field} streamed != materialized",
             )
+
+
+def test_streamed_bootstrap_expectations_match_materialized(monkeypatch):
+    """Bootstrap uncertainties of expectations through the streamed path
+    (counts-weighted pass-A per replicate, no resampled matrix) must
+    reproduce the materializing branch's bootstrapped observables and
+    replicate free energies given identical rints/f_k_boots."""
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([400, 300, 350, 250], mode="u_kn", seed=9)
+    mbar = MBAR(u_kn, np.array([400, 300, 350, 250]), n_bootstraps=8, rseed=31)
+
+    results = {}
+    for tag, patch in (("host", 2**62), ("stream", 0)):
+        monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", patch)
+        out = {}
+        out["exp"] = mbar.compute_expectations(
+            x_n, uncertainty_method="bootstrap"
+        )
+        out["pert"] = mbar.compute_perturbed_free_energies(
+            u_kn + 0.3, uncertainty_method="bootstrap"
+        )
+        out["ent"] = mbar.compute_entropy_and_enthalpy(
+            u_kn, uncertainty_method="bootstrap"
+        )
+        results[tag] = out
+
+    for key in results["host"]:
+        for field, val in results["host"][key].items():
+            np.testing.assert_allclose(
+                results["stream"][key][field],
+                val,
+                rtol=1e-7,
+                atol=1e-9,
+                err_msg=f"{key}.{field} streamed-bootstrap != materialized",
+            )
