@@ -55,11 +55,9 @@ _AUG_STREAM_BYTES = 512 * 2**20
 _AUG_CHUNK_BYTES = 256 * 2**20
 
 
-@_functools.partial(_jax.jit, static_argnames=())
-def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
-    """One chunk of the augmented-state log-normalizer reductions (pass A of
-    _expectations_streamed).  Module-level jit: closures created per call
-    would recompile the chunk kernel on every public expectations call.
+def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
+    """Pass-A chunk math: per-extra-state and per-observable partial
+    (max, rescaled sum) pairs over one n-chunk.
 
     ``c`` optionally supplies per-sample resample counts — the reductions
     become counts-weighted sums over the SAME columns, which is exactly a
@@ -85,13 +83,83 @@ def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
     return m_l, s_l, m_s, s_s
 
 
-@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype"))
-def _aug_pass_b(
+@_functools.partial(_jax.jit, static_argnames=())
+def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
+    """One chunk of the pass-A reductions (host-chunked streaming form).
+    Module-level jit: closures created per call would recompile the chunk
+    kernel on every public expectations call."""
+    return _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c)
+
+
+def _aug_combine_dev(m, s, m_c, s_c):
+    """Running-max rescaled-sum combine (flash-logsumexp across chunks),
+    device form shared by the fori_loop pass variants."""
+    m_new = jnp.maximum(m, m_c)
+    safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    return m_new, s * jnp.exp(m - safe) + s_c * jnp.exp(m_c - safe)
+
+
+@_functools.partial(_jax.jit, static_argnames=("num_chunks",))
+def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
+                     num_chunks, c=None):
+    """Pass A as ONE device dispatch: lax.fori_loop over n-chunks of a
+    device-resident u_kn.  Used when u_kn is already a jax array and the
+    observable-row matrix is small (n_obs rows; the (S, nc) expansion via
+    ``i_of_s`` happens per chunk on device) — the host-chunked form pays
+    several frontend round-trips per chunk, which dominates wall time on
+    tunneled/remote TPU frontends."""
+    K_rows, N = u_kn.shape
+    NL = u_ln.shape[0]
+    S = lidx.shape[0]
+    nc = max(1, N // num_chunks)
+    num_chunks = N // nc
+    neg_inf = jnp.asarray(-jnp.inf, u_kn.dtype)
+
+    def fold(carry, sl_u, sl_ul, sl_la, sl_c):
+        m_l, s_l, m_s, s_s = carry
+        ml_c, sl_c2, ms_c, ss_c = _aug_a_body(
+            sl_u, sl_ul, sl_la, sws, Ns, fs, lidx, sl_c
+        )
+        m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c2)
+        m_s, s_s = _aug_combine_dev(m_s, s_s, ms_c, ss_c)
+        return m_l, s_l, m_s, s_s
+
+    def body(ci, carry):
+        sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
+        sl_ul = _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        la = _jax.lax.dynamic_slice(
+            logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
+        )
+        sl_la = jnp.take(la, i_of_s, axis=0)  # (S, nc)
+        sl_c = (
+            None if c is None else _jax.lax.dynamic_slice(c, (ci * nc,), (nc,))
+        )
+        return fold(carry, sl_u, sl_ul, sl_la, sl_c)
+
+    init = (
+        jnp.full(NL, neg_inf), jnp.zeros(NL, u_kn.dtype),
+        jnp.full(S, neg_inf), jnp.zeros(S, u_kn.dtype),
+    )
+    carry = _jax.lax.fori_loop(0, num_chunks, body, init)
+    rem = N - nc * num_chunks
+    if rem > 0:
+        la = jnp.take(logA_rows[:, nc * num_chunks :], i_of_s, axis=0)
+        carry = fold(
+            carry,
+            u_kn[:, nc * num_chunks :],
+            u_ln[:, nc * num_chunks :],
+            la,
+            None if c is None else c[nc * num_chunks :],
+        )
+    return carry
+
+
+def _aug_b_body(
     u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
     sentinel, K, compute_dtype,
 ):
-    """One chunk of the augmented Gram + normalization aggregates (pass B of
-    _expectations_streamed); module-level jit cache, K/dtype static."""
+    """Pass-B chunk math: augmented Gram + normalization aggregates over
+    one n-chunk."""
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
     ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
@@ -120,6 +188,77 @@ def _aug_pass_b(
         gidx,
         rowsum[lf],
     )
+
+
+@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype"))
+def _aug_pass_b(
+    u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
+    sentinel, K, compute_dtype,
+):
+    """One chunk of pass B (host-chunked streaming form); module-level jit
+    cache, K/dtype static."""
+    return _aug_b_body(
+        u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
+        sentinel, K, compute_dtype,
+    )
+
+
+@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype", "num_chunks"))
+def _aug_pass_b_scan(
+    u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, f_k, logC, obs_shift, lidx,
+    Nk, sentinel, K, compute_dtype, num_chunks,
+):
+    """Pass B as ONE device dispatch (fori_loop over n-chunks of a
+    device-resident u_kn), the augmented twin of
+    ops.mbar_core._gram_norm_blocked."""
+    K_rows, N = u_kn.shape
+    NL = u_ln.shape[0]
+    msize = K + NL + lidx.shape[0]
+    nc = max(1, N // num_chunks)
+    num_chunks = N // nc
+
+    def fold(acc, sl_u, sl_ul, sl_la, base):
+        gram, colsum, cnt, fidx, fval = acc
+        g_c, cs_c, cnt_c, gidx, val = _aug_b_body(
+            sl_u, sl_ul, sl_la, base, sws, Ns, fs, f_k, logC, obs_shift,
+            lidx, Nk, sentinel, K, compute_dtype,
+        )
+        gram = gram + g_c
+        colsum = colsum + cs_c
+        cnt = cnt + cnt_c
+        take = gidx < fidx
+        fidx = jnp.where(take, gidx, fidx)
+        fval = jnp.where(take, val, fval)
+        return gram, colsum, cnt, fidx, fval
+
+    def body(ci, acc):
+        sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
+        sl_ul = _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        la = _jax.lax.dynamic_slice(
+            logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
+        )
+        sl_la = jnp.take(la, i_of_s, axis=0)
+        return fold(acc, sl_u, sl_ul, sl_la, (ci * nc).astype(jnp.int64))
+
+    init = (
+        jnp.zeros((msize, msize), jnp.float64),
+        jnp.zeros(msize, jnp.float64),
+        jnp.zeros((), jnp.int64),
+        sentinel,
+        jnp.zeros((), jnp.float64),
+    )
+    acc = _jax.lax.fori_loop(0, num_chunks, body, init)
+    rem = N - nc * num_chunks
+    if rem > 0:
+        la = jnp.take(logA_rows[:, nc * num_chunks :], i_of_s, axis=0)
+        acc = fold(
+            acc,
+            u_kn[:, nc * num_chunks :],
+            u_ln[:, nc * num_chunks :],
+            la,
+            jnp.asarray(nc * num_chunks, jnp.int64),
+        )
+    return acc
 
 
 def _wtw_gram(W, block_bytes=2**30):
@@ -1126,25 +1265,55 @@ class MBAR:
         with np.errstate(divide="ignore"):
             logA = np.log(A_n) if S > 0 else np.zeros((0, N))
 
+        # When u_kn already lives on device and the extra-state/observable
+        # row matrices are small, the whole pass runs as ONE fori_loop
+        # dispatch (the host-chunked form costs several frontend round
+        # trips per chunk — which dominates wall time on tunneled/remote
+        # TPU frontends).  Larger NL / n_obs (e.g. entropy's u_kn-as-
+        # observable) keep the host-chunked path: their row matrices are
+        # u_kn-sized and must stream from host RAM.
+        device_scan = (
+            isinstance(self.u_kn, _jax.Array)
+            and NL <= 4
+            and logA.shape[0] <= 4
+        )
+        if device_scan:
+            u_ln_dev = jnp.asarray(u_ln)
+            logA_dev = jnp.asarray(logA)
+            iofs_dev = jnp.asarray(i_of_s)
+
         def run_pass_a(fs_values, counts=None):
             """(log_C (NL,), f_sa (S,)) at the given sampled-state f values,
             optionally counts-weighted (one streamed pass over u_kn)."""
-            m_l = np.full(NL, -np.inf)
-            s_l = np.zeros(NL)
-            m_s = np.full(S, -np.inf)
-            s_s = np.zeros(S)
-            for c0 in starts:
-                c1 = min(c0 + nc, N)
-                c_c = None if counts is None else jnp.asarray(counts[c0:c1])
-                ml_c, sl_c, ms_c, ss_c = _aug_pass_a(
-                    jnp.asarray(self.u_kn[:, c0:c1]),
-                    jnp.asarray(u_ln[:, c0:c1]),
-                    jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
-                    sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
+            if device_scan:
+                c_dev = None if counts is None else jnp.asarray(counts)
+                # 4x smaller chunks than the host-streamed form: inside
+                # ONE dispatch the per-chunk latency is gone, and smaller
+                # chunks shrink the emulated-f64 loop-body temporaries
+                # (compile-time HBM headroom next to the resident matrix).
+                ml, sl, ms, ss = _aug_pass_a_scan(
+                    self.u_kn, u_ln_dev, logA_dev, iofs_dev, sws_dev,
+                    Ns_dev, fs_values, lidx_dev, 4 * len(starts), c_dev,
                 )
-                with np.errstate(invalid="ignore"):
-                    m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
-                    m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                m_l, s_l = np.asarray(ml), np.asarray(sl)
+                m_s, s_s = np.asarray(ms), np.asarray(ss)
+            else:
+                m_l = np.full(NL, -np.inf)
+                s_l = np.zeros(NL)
+                m_s = np.full(S, -np.inf)
+                s_s = np.zeros(S)
+                for c0 in starts:
+                    c1 = min(c0 + nc, N)
+                    c_c = None if counts is None else jnp.asarray(counts[c0:c1])
+                    ml_c, sl_c, ms_c, ss_c = _aug_pass_a(
+                        jnp.asarray(self.u_kn[:, c0:c1]),
+                        jnp.asarray(u_ln[:, c0:c1]),
+                        jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                        sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
+                    )
+                    with np.errstate(invalid="ignore"):
+                        m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                        m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
             with np.errstate(divide="ignore"):
                 log_C = -(np.log(s_l) + m_l)  # (NL,)
                 R_s = np.log(s_s) + m_s  # (S,)
@@ -1191,25 +1360,37 @@ class MBAR:
                 compute_dtype,
             )
 
-        gram = np.zeros((msize, msize))
-        colsum = np.zeros(msize)
-        n_bad = 0
-        first_bad = N + 1
-        first_val = 0.0
-        for c0 in starts:
-            c1 = min(c0 + nc, N)
-            g_c, cs_c, cnt, gidx, val = pass_b(
-                jnp.asarray(self.u_kn[:, c0:c1]),
-                jnp.asarray(u_ln[:, c0:c1]),
-                jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
-                jnp.asarray(c0, dtype=jnp.int64),
+        if device_scan:
+            g_c, cs_c, cnt, gidx, val = _aug_pass_b_scan(
+                self.u_kn, u_ln_dev, logA_dev, iofs_dev, sws_dev, Ns_dev,
+                fs_dev, f_dev, logC_dev, obs_shift, lidx_dev, Nk_dev,
+                sentinel, K, compute_dtype, 4 * len(starts),
             )
-            gram += np.asarray(g_c)
-            colsum += np.asarray(cs_c)
-            n_bad += int(cnt)
-            if int(gidx) < first_bad:
-                first_bad = int(gidx)
-                first_val = float(val)
+            gram = np.asarray(g_c)
+            colsum = np.asarray(cs_c)
+            n_bad = int(cnt)
+            first_bad = int(gidx)
+            first_val = float(val)
+        else:
+            gram = np.zeros((msize, msize))
+            colsum = np.zeros(msize)
+            n_bad = 0
+            first_bad = N + 1
+            first_val = 0.0
+            for c0 in starts:
+                c1 = min(c0 + nc, N)
+                g_c, cs_c, cnt, gidx, val = pass_b(
+                    jnp.asarray(self.u_kn[:, c0:c1]),
+                    jnp.asarray(u_ln[:, c0:c1]),
+                    jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                    jnp.asarray(c0, dtype=jnp.int64),
+                )
+                gram += np.asarray(g_c)
+                colsum += np.asarray(cs_c)
+                n_bad += int(cnt)
+                if int(gidx) < first_bad:
+                    first_bad = int(gidx)
+                    first_val = float(val)
 
         self._check_normalized_aggregates(colsum, (n_bad, first_bad, first_val))
 

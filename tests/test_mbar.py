@@ -515,3 +515,44 @@ def test_streamed_bootstrap_expectations_match_materialized(monkeypatch):
                 atol=1e-9,
                 err_msg=f"{key}.{field} streamed-bootstrap != materialized",
             )
+
+
+def test_device_scan_expectations_match_host_chunked(monkeypatch):
+    """With a device-resident u_kn and small NL/n_obs, pass A/B run as one
+    fori_loop dispatch (_aug_pass_a_scan/_aug_pass_b_scan); results must
+    match the host-chunked streaming form exactly."""
+    import jax.numpy as jnp
+
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([300, 250, 280, 270], mode="u_kn", seed=6)
+    N_k = np.array([300, 250, 280, 270])
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+
+    m_host = MBAR(u_kn, N_k, n_bootstraps=5, rseed=3)
+    m_dev = MBAR(u_kn, N_k, n_bootstraps=5, rseed=3)
+    m_dev.u_kn = jnp.asarray(m_dev.u_kn)  # device-resident matrix
+
+    u_pert = u_kn[:2] + 0.3
+    for kwargs in (
+        dict(),
+        dict(uncertainty_method="bootstrap"),
+        dict(compute_uncertainty=False),
+    ):
+        r_h = m_host.compute_perturbed_free_energies(u_pert, **kwargs)
+        r_d = m_dev.compute_perturbed_free_energies(u_pert, **kwargs)
+        for field in r_h:
+            np.testing.assert_allclose(
+                r_d[field], r_h[field], rtol=1e-9, atol=1e-11,
+                err_msg=f"{field} device-scan != host-chunked ({kwargs})",
+            )
+
+    A_in = np.vstack([x_n, x_n**2])
+    r_h = m_host.compute_multiple_expectations(A_in, u_kn[0], compute_covariance=True)
+    r_d = m_dev.compute_multiple_expectations(A_in, u_kn[0], compute_covariance=True)
+    for field in r_h:
+        np.testing.assert_allclose(
+            r_d[field], r_h[field], rtol=1e-9, atol=1e-11,
+            err_msg=f"multiple.{field} device-scan != host-chunked",
+        )
