@@ -371,6 +371,15 @@ def tpu_solve():
     expectations_s = time.time() - t0
     assert np.all(np.isfinite(pert["Delta_f"]))
 
+    # compute_expectations(A_n) at all K states — u_ln aliases the resident
+    # matrix, so both augmented passes run as single-dispatch device scans.
+    A_obs = np.asarray(u64[0])
+    ex = m.compute_expectations(A_obs)  # warm-up / compile
+    t0 = time.time()
+    ex = m.compute_expectations(A_obs)
+    expectations_all_states_s = time.time() - t0
+    assert np.all(np.isfinite(ex["mu"])) and np.all(np.isfinite(ex["sigma"]))
+
     del u64, out, m
 
     k4096 = k4096_slice(jax, jnp)
@@ -400,6 +409,7 @@ def tpu_solve():
         bootstrap_sigma_finite=boot_sigma_finite,
         cov_s=round(cov_s, 3),
         expectations_s=round(expectations_s, 3),
+        expectations_all_states_s=round(expectations_all_states_s, 3),
         **k4096,
     )
 
@@ -587,6 +597,7 @@ def main():
                 bootstrap_n_fail=result["bootstrap_n_fail"],
                 cov_s=result["cov_s"],
                 expectations_s=result["expectations_s"],
+                expectations_all_states_s=result["expectations_all_states_s"],
                 k4096_solve_s=result["k4096_solve_s"],
                 k4096_gnorm=result["k4096_gnorm"],
                 k4096_gnorm_per_sample=result["k4096_gnorm_per_sample"],

@@ -55,23 +55,61 @@ _AUG_STREAM_BYTES = 512 * 2**20
 _AUG_CHUNK_BYTES = 256 * 2**20
 
 
-def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
+def _row_select(x, idx, mode, n_out):
+    """Select rows x[idx] with a statically-specialized strategy.
+
+    TPU has no fast vector gather, and jnp.take row-gathers of (K, nc)
+    blocks dominated the streamed expectations passes (measured ~0.1 s per
+    gather per chunk).  The index patterns the callers produce are almost
+    always trivial, so the mode is decided host-side:
+
+    * "identity" — idx == arange(len(x)): return x;
+    * "zero"     — all idx == 0: broadcast the first row;
+    * "gather"   — general: one-hot matmul on the MXU (exact: the one-hot
+      entries are 0/1, so products are error-free in any float type).
+    """
+    if mode == "identity":
+        return x
+    if mode == "empty":
+        return x[:0]
+    if mode == "zero":
+        return jnp.broadcast_to(x[0:1], (n_out, x.shape[1]))
+    oh = (idx[:, None] == jnp.arange(x.shape[0])[None, :]).astype(x.dtype)
+    return jnp.dot(oh, x, preferred_element_type=x.dtype)
+
+
+def _idx_mode(idx, nrows):
+    """Host-side classification for :func:`_row_select`."""
+    idx = np.asarray(idx)
+    if idx.size == 0:
+        return "empty"
+    if idx.size == nrows and np.array_equal(idx, np.arange(nrows)):
+        return "identity"
+    if np.all(idx == 0):
+        return "zero"
+    return "gather"
+
+
+def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
+                sws_mode="gather", lidx_mode="gather"):
     """Pass-A chunk math: per-extra-state and per-observable partial
     (max, rescaled sum) pairs over one n-chunk.
 
     ``c`` optionally supplies per-sample resample counts — the reductions
     become counts-weighted sums over the SAME columns, which is exactly a
     bootstrap replicate's reduction (evaluated at the replicate's f via
-    ``fs``); no resampled matrix is gathered.
+    ``fs``); no resampled matrix is gathered.  ``sws_mode``/``lidx_mode``
+    statically specialize the row selections (see :func:`_row_select`).
     """
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
-    ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
+    u_s = u_c if sws_mode == "identity" else jnp.take(u_c, sws, axis=0)
+    ld = _logden_direct(u_s, Ns, fs)
     a_l = -ul_c - ld[None, :]  # (NL, nc)
     m_l = jnp.max(a_l, axis=1)
     m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
     e_l = jnp.exp(a_l - m_l_safe[:, None])
-    a_s = la_c + jnp.take(a_l, lidx, axis=0)  # (S, nc)
+    a_s = la_c + _row_select(a_l, lidx, lidx_mode, la_c.shape[0])  # (S, nc)
     m_s = jnp.max(a_s, axis=1)
     m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
     e_s = jnp.exp(a_s - m_s_safe[:, None])
@@ -83,12 +121,14 @@ def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
     return m_l, s_l, m_s, s_s
 
 
-@_functools.partial(_jax.jit, static_argnames=())
-def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None):
+@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode"))
+def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
+                sws_mode="gather", lidx_mode="gather"):
     """One chunk of the pass-A reductions (host-chunked streaming form).
     Module-level jit: closures created per call would recompile the chunk
     kernel on every public expectations call."""
-    return _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c)
+    return _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c,
+                       sws_mode, lidx_mode)
 
 
 def _aug_combine_dev(m, s, m_c, s_c):
@@ -99,9 +139,14 @@ def _aug_combine_dev(m, s, m_c, s_c):
     return m_new, s * jnp.exp(m - safe) + s_c * jnp.exp(m_c - safe)
 
 
-@_functools.partial(_jax.jit, static_argnames=("num_chunks",))
+@_functools.partial(
+    _jax.jit,
+    static_argnames=("num_chunks", "alias", "sws_mode", "lidx_mode", "iofs_mode"),
+)
 def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
-                     num_chunks, c=None):
+                     num_chunks, c=None, alias=False,
+                     sws_mode="gather", lidx_mode="gather",
+                     iofs_mode="gather"):
     """Pass A as ONE device dispatch: lax.fori_loop over n-chunks of a
     device-resident u_kn.  Used when u_kn is already a jax array and the
     observable-row matrix is small (n_obs rows; the (S, nc) expansion via
@@ -118,7 +163,8 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
     def fold(carry, sl_u, sl_ul, sl_la, sl_c):
         m_l, s_l, m_s, s_s = carry
         ml_c, sl_c2, ms_c, ss_c = _aug_a_body(
-            sl_u, sl_ul, sl_la, sws, Ns, fs, lidx, sl_c
+            sl_u, sl_ul, sl_la, sws, Ns, fs, lidx, sl_c,
+            sws_mode, lidx_mode,
         )
         m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c2)
         m_s, s_s = _aug_combine_dev(m_s, s_s, ms_c, ss_c)
@@ -126,11 +172,14 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
 
     def body(ci, carry):
         sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
-        sl_ul = _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        sl_ul = (
+            sl_u if alias
+            else _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        )
         la = _jax.lax.dynamic_slice(
             logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
         )
-        sl_la = jnp.take(la, i_of_s, axis=0)  # (S, nc)
+        sl_la = _row_select(la, i_of_s, iofs_mode, S)  # (S, nc)
         sl_c = (
             None if c is None else _jax.lax.dynamic_slice(c, (ci * nc,), (nc,))
         )
@@ -143,11 +192,12 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
     carry = _jax.lax.fori_loop(0, num_chunks, body, init)
     rem = N - nc * num_chunks
     if rem > 0:
-        la = jnp.take(logA_rows[:, nc * num_chunks :], i_of_s, axis=0)
+        la = _row_select(logA_rows[:, nc * num_chunks :], i_of_s, iofs_mode, S)
+        tail_u = u_kn[:, nc * num_chunks :]
         carry = fold(
             carry,
-            u_kn[:, nc * num_chunks :],
-            u_ln[:, nc * num_chunks :],
+            tail_u,
+            tail_u if alias else u_ln[:, nc * num_chunks :],
             la,
             None if c is None else c[nc * num_chunks :],
         )
@@ -156,19 +206,20 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
 
 def _aug_b_body(
     u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
-    sentinel, K, compute_dtype,
+    sentinel, K, compute_dtype, sws_mode="gather", lidx_mode="gather",
 ):
     """Pass-B chunk math: augmented Gram + normalization aggregates over
-    one n-chunk."""
+    one n-chunk.  Row selections statically specialized (_row_select)."""
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
-    ld = _logden_direct(jnp.take(u_c, sws, axis=0), Ns, fs)
+    u_s = u_c if sws_mode == "identity" else jnp.take(u_c, sws, axis=0)
+    ld = _logden_direct(u_s, Ns, fs)
     logw0 = f_k[:, None] - u_c - ld[None, :]
     logwL = logC[:, None] - ul_c - ld[None, :]
     logwS = (
         obs_shift[:, None]
         + la_c
-        - jnp.take(ul_c, lidx, axis=0)
+        - _row_select(ul_c, lidx, lidx_mode, la_c.shape[0])
         - ld[None, :]
     )
     W = jnp.exp(
@@ -190,23 +241,32 @@ def _aug_b_body(
     )
 
 
-@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype"))
+@_functools.partial(
+    _jax.jit, static_argnames=("K", "compute_dtype", "sws_mode", "lidx_mode")
+)
 def _aug_pass_b(
     u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
-    sentinel, K, compute_dtype,
+    sentinel, K, compute_dtype, sws_mode="gather", lidx_mode="gather",
 ):
     """One chunk of pass B (host-chunked streaming form); module-level jit
     cache, K/dtype static."""
     return _aug_b_body(
         u_c, ul_c, la_c, base, sws, Ns, fs, f_k, logC, obs_shift, lidx, Nk,
-        sentinel, K, compute_dtype,
+        sentinel, K, compute_dtype, sws_mode, lidx_mode,
     )
 
 
-@_functools.partial(_jax.jit, static_argnames=("K", "compute_dtype", "num_chunks"))
+@_functools.partial(
+    _jax.jit,
+    static_argnames=(
+        "K", "compute_dtype", "num_chunks", "alias", "sws_mode",
+        "lidx_mode", "iofs_mode",
+    ),
+)
 def _aug_pass_b_scan(
     u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, f_k, logC, obs_shift, lidx,
-    Nk, sentinel, K, compute_dtype, num_chunks,
+    Nk, sentinel, K, compute_dtype, num_chunks, alias=False,
+    sws_mode="gather", lidx_mode="gather", iofs_mode="gather",
 ):
     """Pass B as ONE device dispatch (fori_loop over n-chunks of a
     device-resident u_kn), the augmented twin of
@@ -221,7 +281,7 @@ def _aug_pass_b_scan(
         gram, colsum, cnt, fidx, fval = acc
         g_c, cs_c, cnt_c, gidx, val = _aug_b_body(
             sl_u, sl_ul, sl_la, base, sws, Ns, fs, f_k, logC, obs_shift,
-            lidx, Nk, sentinel, K, compute_dtype,
+            lidx, Nk, sentinel, K, compute_dtype, sws_mode, lidx_mode,
         )
         gram = gram + g_c
         colsum = colsum + cs_c
@@ -233,11 +293,14 @@ def _aug_pass_b_scan(
 
     def body(ci, acc):
         sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
-        sl_ul = _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        sl_ul = (
+            sl_u if alias
+            else _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
+        )
         la = _jax.lax.dynamic_slice(
             logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
         )
-        sl_la = jnp.take(la, i_of_s, axis=0)
+        sl_la = _row_select(la, i_of_s, iofs_mode, lidx.shape[0])
         return fold(acc, sl_u, sl_ul, sl_la, (ci * nc).astype(jnp.int64))
 
     init = (
@@ -250,11 +313,14 @@ def _aug_pass_b_scan(
     acc = _jax.lax.fori_loop(0, num_chunks, body, init)
     rem = N - nc * num_chunks
     if rem > 0:
-        la = jnp.take(logA_rows[:, nc * num_chunks :], i_of_s, axis=0)
+        la = _row_select(
+            logA_rows[:, nc * num_chunks :], i_of_s, iofs_mode, lidx.shape[0]
+        )
+        tail_u = u_kn[:, nc * num_chunks :]
         acc = fold(
             acc,
-            u_kn[:, nc * num_chunks :],
-            u_ln[:, nc * num_chunks :],
+            tail_u,
+            tail_u if alias else u_ln[:, nc * num_chunks :],
             la,
             jnp.asarray(nc * num_chunks, jnp.int64),
         )
@@ -1025,9 +1091,17 @@ class MBAR:
             state_list = state_map[0, :]
             S = mapshape[1]
 
-        u_ln = np.asarray(u_ln, dtype=np.float64)
-        if u_ln.ndim == 1:
-            u_ln = u_ln.reshape(1, -1)
+        # The most common call pattern passes u_ln = self.u_kn (every
+        # sampled state is also an evaluation state, e.g.
+        # compute_expectations / compute_entropy_and_enthalpy with the
+        # default potentials).  Detect the alias BEFORE any conversion: a
+        # device-resident u_kn would otherwise be pulled to host here, and
+        # the streamed path can reuse the resident matrix for both roles.
+        u_ln_alias = u_ln is self.u_kn
+        if not u_ln_alias:
+            u_ln = np.asarray(u_ln, dtype=np.float64)
+            if u_ln.ndim == 1:
+                u_ln = u_ln.reshape(1, -1)
 
         # Work on a float64 copy of the observables: the reference shifts
         # A_n in place and restores it afterwards (mbar.py:864-878, :973-975);
@@ -1077,6 +1151,7 @@ class MBAR:
                 A_n, u_ln, state_map, S, L_list,
                 method=uncertainty_method, need_theta=return_theta,
                 bootstrap=uncertainty_method == "bootstrap",
+                u_ln_alias=u_ln_alias,
             )
             A_i = np.exp(-f_aug[K + NL : K + NL + S])
             if S > 0:
@@ -1105,6 +1180,10 @@ class MBAR:
                     )
             return result_vals
 
+        if u_ln_alias:
+            # the streamed branch did not take over: the materializing path
+            # needs a host float64 u_ln (a no-op view when u_kn is host)
+            u_ln = np.asarray(u_ln, dtype=np.float64)
         Log_W_nk = np.zeros([N, msize], np.float64)
         N_k = np.zeros(msize, np.int64)
         f_k = np.zeros(msize, np.float64)
@@ -1208,7 +1287,7 @@ class MBAR:
 
     def _expectations_streamed(
         self, A_n, u_ln, state_map, S, L_list, method, need_theta,
-        bootstrap=False,
+        bootstrap=False, u_ln_alias=False,
     ):
         """Augmented-state expectations without the N x (K+NL+S) matrix.
 
@@ -1245,7 +1324,9 @@ class MBAR:
 
         l_of_s = state_map[0, :S].astype(int) if S > 0 else np.zeros(0, int)
         i_of_s = state_map[1, :S].astype(int) if S > 0 else np.zeros(0, int)
-        u_ln = np.asarray(u_ln)
+        # NOT np.asarray: with u_ln_alias (u_ln IS self.u_kn) a device-
+        # resident matrix must not be pulled to host; slicing below works
+        # for numpy and jax arrays alike.
 
         f_dev = jnp.asarray(self.f_k)
         fs_dev = jnp.asarray(self.f_k[sws])
@@ -1253,6 +1334,12 @@ class MBAR:
         Nk_dev = jnp.asarray(self.N_k, dtype=jnp.float64)
         sws_dev = jnp.asarray(sws)
         lidx_dev = jnp.asarray(l_of_s)
+
+        # Statically specialize the row selections (TPU gathers are slow;
+        # the common patterns are trivial: all states sampled, lidx an
+        # arange or a constant — see _row_select).
+        sws_mode = "identity" if len(sws) == K else "gather"
+        lidx_mode = _idx_mode(l_of_s, len(L_list))
 
         nc = max(1, int(_AUG_CHUNK_BYTES // (8 * max(K, 1))))
         starts = list(range(0, N, nc))
@@ -1274,13 +1361,23 @@ class MBAR:
         # u_kn-sized and must stream from host RAM.
         device_scan = (
             isinstance(self.u_kn, _jax.Array)
-            and NL <= 4
+            and (NL <= 4 or u_ln_alias)
             and logA.shape[0] <= 4
         )
         if device_scan:
-            u_ln_dev = jnp.asarray(u_ln)
+            # with the alias this is the SAME buffer as u_kn (no copy);
+            # the scan kernels then skip the u_ln slice entirely
+            u_ln_dev = self.u_kn if u_ln_alias else jnp.asarray(u_ln)
             logA_dev = jnp.asarray(logA)
             iofs_dev = jnp.asarray(i_of_s)
+            iofs_mode = _idx_mode(i_of_s, logA.shape[0])
+            # Scan chunks shrink below the streaming chunk size: inside ONE
+            # dispatch the per-chunk latency is gone, and the loop-body
+            # temporaries (several (K + NL + S, nc) emulated-f64 slabs)
+            # must leave HBM headroom next to the resident matrix.  The
+            # msize/K factor keeps the slab budget constant as the
+            # augmented extent grows (NL = K for the alias case).
+            scan_div = 4 * max(1, (K + NL + S) // max(K, 1))
 
         def run_pass_a(fs_values, counts=None):
             """(log_C (NL,), f_sa (S,)) at the given sampled-state f values,
@@ -1293,7 +1390,9 @@ class MBAR:
                 # (compile-time HBM headroom next to the resident matrix).
                 ml, sl, ms, ss = _aug_pass_a_scan(
                     self.u_kn, u_ln_dev, logA_dev, iofs_dev, sws_dev,
-                    Ns_dev, fs_values, lidx_dev, 4 * len(starts), c_dev,
+                    Ns_dev, fs_values, lidx_dev, scan_div * len(starts),
+                    c_dev, alias=u_ln_alias, sws_mode=sws_mode,
+                    lidx_mode=lidx_mode, iofs_mode=iofs_mode,
                 )
                 m_l, s_l = np.asarray(ml), np.asarray(sl)
                 m_s, s_s = np.asarray(ms), np.asarray(ss)
@@ -1310,6 +1409,7 @@ class MBAR:
                         jnp.asarray(u_ln[:, c0:c1]),
                         jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
                         sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
+                        sws_mode=sws_mode, lidx_mode=lidx_mode,
                     )
                     with np.errstate(invalid="ignore"):
                         m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
@@ -1357,14 +1457,16 @@ class MBAR:
             return _aug_pass_b(
                 u_c, ul_c, la_c, base, sws_dev, Ns_dev, fs_dev, f_dev,
                 logC_dev, obs_shift, lidx_dev, Nk_dev, sentinel, K,
-                compute_dtype,
+                compute_dtype, sws_mode=sws_mode, lidx_mode=lidx_mode,
             )
 
         if device_scan:
             g_c, cs_c, cnt, gidx, val = _aug_pass_b_scan(
                 self.u_kn, u_ln_dev, logA_dev, iofs_dev, sws_dev, Ns_dev,
                 fs_dev, f_dev, logC_dev, obs_shift, lidx_dev, Nk_dev,
-                sentinel, K, compute_dtype, 4 * len(starts),
+                sentinel, K, compute_dtype, scan_div * len(starts),
+                alias=u_ln_alias, sws_mode=sws_mode, lidx_mode=lidx_mode,
+                iofs_mode=iofs_mode,
             )
             gram = np.asarray(g_c)
             colsum = np.asarray(cs_c)

@@ -556,3 +556,34 @@ def test_device_scan_expectations_match_host_chunked(monkeypatch):
             r_d[field], r_h[field], rtol=1e-9, atol=1e-11,
             err_msg=f"multiple.{field} device-scan != host-chunked",
         )
+
+
+def test_device_scan_alias_compute_expectations(monkeypatch):
+    """compute_expectations(x_n) passes u_ln = self.u_kn (the alias): with a
+    device-resident matrix the scan path must reuse the SAME buffer (no
+    host pull, no second copy) and match the host-chunked form."""
+    import jax.numpy as jnp
+
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([300, 250, 280, 270], mode="u_kn", seed=12)
+    N_k = np.array([300, 250, 280, 270])
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+
+    m_host = MBAR(u_kn, N_k, n_bootstraps=4, rseed=8)
+    m_dev = MBAR(u_kn, N_k, n_bootstraps=4, rseed=8)
+    m_dev.u_kn = jnp.asarray(m_dev.u_kn)
+
+    for kwargs in (
+        dict(return_theta=True),
+        dict(uncertainty_method="bootstrap"),
+        dict(output="differences"),
+    ):
+        r_h = m_host.compute_expectations(x_n, **kwargs)
+        r_d = m_dev.compute_expectations(x_n, **kwargs)
+        for field in r_h:
+            np.testing.assert_allclose(
+                r_d[field], r_h[field], rtol=1e-9, atol=1e-11,
+                err_msg=f"expectations.{field} alias-scan != host ({kwargs})",
+            )
