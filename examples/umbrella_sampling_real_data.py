@@ -83,8 +83,12 @@ def decorrelate(chi_kn, u_kn, N_k, different_temperatures):
     g_k = np.zeros(K)
     for k in range(K):
         if different_temperatures:
-            g_k[k] = timeseries.statistical_inefficiency(u_kn[k], u_kn[k, : N_k[k]])
-            indices = timeseries.subsample_correlated_data(u_kn[k, : N_k[k]])
+            # NB: the reference script passes the full zero-padded row as
+            # A_n here (a shape-mismatch crash for short trajectories);
+            # truncate both arguments to the window's real length instead
+            u_k = u_kn[k, : N_k[k]]
+            g_k[k] = timeseries.statistical_inefficiency(u_k, u_k)
+            indices = timeseries.subsample_correlated_data(u_k)
         else:
             chi_rad = chi_kn[k, : N_k[k]] * (np.pi / 180.0)
             g_cos = timeseries.statistical_inefficiency(np.cos(chi_rad))

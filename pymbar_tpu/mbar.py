@@ -131,6 +131,50 @@ def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
                        sws_mode, lidx_mode)
 
 
+@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode"))
+def _aug_pass_a_multi(u_c, ul_c, la_c, sws, Ns, fs_all, lidx, c_all,
+                      sws_mode="gather", lidx_mode="gather"):
+    """Pass-A reductions for B bootstrap replicates over ONE uploaded chunk.
+
+    ``fs_all`` is (B, Ks) per-replicate sampled-state free energies and
+    ``c_all`` is (B, nc) per-replicate resample counts.  Looping replicates
+    on device against a single upload turns the bootstrap's host-chunked
+    streaming cost from B uploads of u_kn into one (the upload, not the
+    VPU math, dominates on a tunneled frontend): each replicate is its own
+    _aug_a_body evaluation (its own f iterate, so its own exp slabs — they
+    cannot share one pass), but the (K, nc) chunk stays resident across
+    the fori_loop.  Outputs are (B, NL)/(B, S) partial (max, rescaled-sum)
+    pairs, combined across chunks on host exactly like the single-replicate
+    form."""
+    B = fs_all.shape[0]
+    NL = ul_c.shape[0]
+    S = la_c.shape[0]
+
+    def body(b, out):
+        m_l, s_l, m_s, s_s = out
+        ml, sl, ms, ss = _aug_a_body(
+            u_c, ul_c, la_c, sws, Ns, fs_all[b], lidx,
+            c_all[b].astype(u_c.dtype), sws_mode, lidx_mode,
+        )
+        return (
+            m_l.at[b].set(ml), s_l.at[b].set(sl),
+            m_s.at[b].set(ms), s_s.at[b].set(ss),
+        )
+
+    init = (
+        jnp.full((B, NL), -jnp.inf), jnp.zeros((B, NL)),
+        jnp.full((B, S), -jnp.inf), jnp.zeros((B, S)),
+    )
+    return _jax.lax.fori_loop(0, B, body, init)
+
+
+def _resample_counts(rints, n_total, dtype=np.float64):
+    """Per-sample multiplicities of one bootstrap replicate's resample
+    indices — THE definition of a counts-weighted replicate, shared by the
+    solver route (f32 planes) and the streamed expectations route."""
+    return np.bincount(rints, minlength=n_total).astype(dtype)
+
+
 def _aug_combine_dev(m, s, m_c, s_c):
     """Running-max rescaled-sum combine (flash-logsumexp across chunks),
     device form shared by the fori_loop pass variants."""
@@ -641,8 +685,8 @@ class MBAR:
             ):
                 bootstrap_counts = np.zeros((n_bootstraps, self.N), np.float32)
                 for b in range(n_bootstraps):
-                    bootstrap_counts[b] = np.bincount(
-                        self.bootstrap_rints[b], minlength=self.N
+                    bootstrap_counts[b] = _resample_counts(
+                        self.bootstrap_rints[b], self.N, np.float32
                     )
         elif n_bootstraps < 0:
             logger.warning("n_bootstraps must be an integer >= 0")
@@ -1430,16 +1474,54 @@ class MBAR:
         boot = None
         if bootstrap:
             B = self.n_bootstraps
-            A_boot = np.zeros((B, S))
-            logC_boot = np.zeros((B, NL))
-            for b in range(B):
-                counts_b = np.bincount(
-                    self.bootstrap_rints[b], minlength=N
-                ).astype(np.float64)
-                fs_b = jnp.asarray(self.f_k_boots[b][sws])
-                logC_b, f_sa_b = run_pass_a(fs_b, counts_b)
-                logC_boot[b] = logC_b
-                A_boot[b] = np.exp(-f_sa_b)
+            if device_scan:
+                # resident matrix: per-replicate scans cost no transfer
+                A_boot = np.zeros((B, S))
+                logC_boot = np.zeros((B, NL))
+                for b in range(B):
+                    # f32 counts: exact (small integers), half the
+                    # per-replicate host->device transfer
+                    counts_b = _resample_counts(
+                        self.bootstrap_rints[b], N, np.float32
+                    )
+                    fs_b = jnp.asarray(self.f_k_boots[b][sws])
+                    logC_b, f_sa_b = run_pass_a(fs_b, counts_b)
+                    logC_boot[b] = logC_b
+                    A_boot[b] = np.exp(-f_sa_b)
+            else:
+                # host-resident matrix: upload each chunk ONCE and run all
+                # B replicates against it on device (per-replicate streaming
+                # would re-upload u_kn B times — TBs at the GB scale)
+                counts_all = np.empty((B, N), np.float32)
+                for b in range(B):
+                    counts_all[b] = _resample_counts(
+                        self.bootstrap_rints[b], N, np.float32
+                    )
+                fs_all = jnp.asarray(self.f_k_boots[:, sws])
+                m_l = np.full((B, NL), -np.inf)
+                s_l = np.zeros((B, NL))
+                m_s = np.full((B, S), -np.inf)
+                s_s = np.zeros((B, S))
+                for c0 in starts:
+                    c1 = min(c0 + nc, N)
+                    ml_c, sl_c, ms_c, ss_c = _aug_pass_a_multi(
+                        jnp.asarray(self.u_kn[:, c0:c1]),
+                        jnp.asarray(u_ln[:, c0:c1]),
+                        jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                        sws_dev, Ns_dev, fs_all, lidx_dev,
+                        jnp.asarray(counts_all[:, c0:c1]),
+                        sws_mode=sws_mode, lidx_mode=lidx_mode,
+                    )
+                    with np.errstate(invalid="ignore"):
+                        m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                        m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                with np.errstate(divide="ignore"):
+                    logC_boot = -(np.log(s_l) + m_l)  # (B, NL)
+                    R_s = np.log(s_s) + m_s  # (B, S)
+                A_boot = (
+                    np.exp(logC_boot[:, l_of_s] + R_s)
+                    if S > 0 else np.zeros((B, 0))
+                )
             boot = (A_boot, logC_boot)
 
         if not need_theta:

@@ -759,12 +759,14 @@ def _sharded_polish_while_dd_w(
     )
 
 
-def _sharded_gram_w(u_hi_s, c_s, N_k32, f32_val, mesh, axis_name="n"):
-    """Counts-weighted f32 Gram on an n-sharded hi plane: (W diag(c) W^T,
-    sum_n c_n W_nk), psum-combined.  Supplies the fallback chord factor for
-    a bootstrap replicate whose base-factor polish failed to contract."""
+def _sharded_gram(u_hi_s, N_k32, f32_val, mesh, axis_name="n", c_s=None):
+    """f32 Gram on an n-sharded hi plane: (W diag(c) W^T, sum_n c_n W_nk),
+    psum-combined; ``c_s`` optionally supplies n-sharded per-sample counts
+    (the counts-weighted form is a bootstrap replicate's Gram — it supplies
+    the fallback chord factor when the base-factor polish fails to
+    contract; c_s=None is the plain chord factor of the 1-D dd solve)."""
 
-    def _local(uh, cc, fv):
+    def _local(uh, fv, cc=None):
         from pymbar_tpu.ops.mbar_core import _logden_direct
 
         ld = _logden_direct(uh, N_k32, fv)
@@ -775,12 +777,18 @@ def _sharded_gram_w(u_hi_s, c_s, N_k32, f32_val, mesh, axis_name="n"):
         gram, colsum = _chunked_w_gram(w, cc)
         return gram[None], colsum[None]
 
-    g_parts, c_parts = jax.shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(P(None, axis_name), P(axis_name), P()),
-        out_specs=(P(axis_name, None, None), P(axis_name, None)),
-    )(u_hi_s, c_s, _replicated(f32_val, mesh))
+    out_specs = (P(axis_name, None, None), P(axis_name, None))
+    if c_s is None:
+        g_parts, c_parts = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(None, axis_name), P()), out_specs=out_specs,
+        )(u_hi_s, _replicated(f32_val, mesh))
+    else:
+        g_parts, c_parts = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(None, axis_name), P(), P(axis_name)),
+            out_specs=out_specs,
+        )(u_hi_s, _replicated(f32_val, mesh), c_s)
     return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
 
 
@@ -841,8 +849,9 @@ def sharded_bootstrap_polish_dd(
             )
         )
         if not converged:
-            gram_b, colsum_b = _sharded_gram_w(
-                u_hi_s, c_s, N_k32, f_b.astype(jnp.float32), mesh, axis_name
+            gram_b, colsum_b = _sharded_gram(
+                u_hi_s, N_k32, f_b.astype(jnp.float32), mesh, axis_name,
+                c_s=c_s,
             )
             hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
             f_b, _it, _g, _d, converged, _floor = polish_to_host(
@@ -925,24 +934,6 @@ def sharded_solve_mbar_dd(
                 break
         return f, its
 
-    def _sharded_gram_at(u_s, Nk32_loc, f32_val):
-        def _local_gram(uh, fv):
-            from pymbar_tpu.ops.mbar_core import _logden_direct
-
-            ld = _logden_direct(uh, Nk32_loc, fv)
-            pad = _is_pad_col(uh)
-            ld = jnp.where(pad, jnp.float32(0.0), ld)
-            w = jnp.exp(fv[:, None] - uh - ld[None, :])
-            w = jnp.where(pad[None, :], jnp.float32(0.0), w)
-            gram, colsum = _chunked_w_gram(w)
-            return gram[None], colsum[None]
-
-        g_parts, c_parts = jax.shard_map(
-            _local_gram, mesh=mesh, in_specs=(P(None, axis_name), P()),
-            out_specs=(P(axis_name, None, None), P(axis_name, None)),
-        )(u_s, _replicated(f32_val, mesh))
-        return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
-
     # ---- phase 1: f32 adaptive warm start (pad columns carry the finite
     # sentinel; exp underflows them to exactly 0 in f32 too).  Large
     # problems solve a 1/16-strided subsample of the sharded plane — a
@@ -976,7 +967,7 @@ def sharded_solve_mbar_dd(
         f32c, it32_coarse = _f32_adaptive(sub, N_sub32, f64.astype(jnp.float32))
         f64 = jnp.asarray(np.asarray(f32c), jnp.float64)
         f64 = f64 - f64[0]
-        gram_s, colsum_s = _sharded_gram_at(sub, N_sub32, f32c)
+        gram_s, colsum_s = _sharded_gram(sub, N_sub32, f32c, mesh, axis_name)
         ratio = N_real / float(N_k_sub.sum())
         hinv = _newton_factor(gram_s / ratio, colsum_s, N_k64)
         del sub
@@ -990,7 +981,9 @@ def sharded_solve_mbar_dd(
     # coarse phase supplied one
     t_phase2 = time.time()
     if hinv is None:
-        gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
+        gram, colsum = _sharded_gram(
+            u_hi_s, N_k32, f64.astype(jnp.float32), mesh, axis_name
+        )
         hinv = _newton_factor(gram, colsum, N_k64)
 
     # ---- polish: one wsum pass per device per iteration, the whole loop on
@@ -1026,7 +1019,9 @@ def sharded_solve_mbar_dd(
         f32_out, it32 = _f32_adaptive(u_hi_s, N_k32, f64.astype(jnp.float32))
         f64 = jnp.asarray(np.asarray(f32_out), jnp.float64)
         f64 = f64 - f64[0]
-        gram, colsum = _sharded_gram_at(u_hi_s, N_k32, f64.astype(jnp.float32))
+        gram, colsum = _sharded_gram(
+            u_hi_s, N_k32, f64.astype(jnp.float32), mesh, axis_name
+        )
         hinv = _newton_factor(gram, colsum, N_k64)
         f64, it2, g64, deltas2, converged, at_noise_floor = _run_polish(f64)
         deltas += deltas2

@@ -91,7 +91,9 @@ def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False, me
       ~sqrt(N) lags, cheaper than a full FFT), else ``"fft"``.
     """
     A_n = np.array(A_n)
-    if fft and B_n is None:
+    # legacy fft=True routing (reference semantics), but never override an
+    # EXPLICIT method='direct' request for the bitwise-parity accumulation
+    if fft and B_n is None and method != "direct":
         return statistical_inefficiency_fft(A_n, mintime=mintime)
 
     B_n = np.array(B_n) if B_n is not None else A_n

@@ -68,6 +68,16 @@ def test_fft_and_direct_agree(data):
     assert_almost_equal(g0, g3, decimal=6)
 
 
+def test_explicit_direct_overrides_fft_flag(data):
+    """An explicit method='direct' request must take the bitwise-parity
+    accumulation even with the legacy fft=True flag set (the fft early
+    return must not override it)."""
+    X, Y, energy = data
+    g_direct = timeseries.statistical_inefficiency(X[0], method="direct")
+    g_both = timeseries.statistical_inefficiency(X[0], fft=True, method="direct")
+    assert g_both == g_direct  # bitwise: same accumulation path
+
+
 def test_fft_gaussian_uncorrelated_and_repeated():
     """White noise must give g~1; 3x-repeated samples must give g~3
     (reference test_timeseries.py:77-104)."""
