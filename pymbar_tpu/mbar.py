@@ -54,6 +54,11 @@ _AUG_STREAM_BYTES = 512 * 2**20
 # enough that the emulated-f64 logden temporaries stay ~1.5 GB.
 _AUG_CHUNK_BYTES = 256 * 2**20
 
+# Collapse the aliased augmented Gram to three K x K Grams when eligible
+# (see _aug_b_struct_body); module switch so tests can pin the structured
+# assembly against the unstructured augmented block.
+_STRUCT_AUG_GRAM = True
+
 
 def _row_select(x, idx, mode, n_out):
     """Select rows x[idx] with a statically-specialized strategy.
@@ -283,6 +288,103 @@ def _aug_b_body(
         gidx,
         rowsum[lf],
     )
+
+
+def _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
+                       compute_dtype, sws_mode="gather"):
+    """Structured pass-B chunk math for the aliased augmented space.
+
+    When ``u_ln is u_kn`` (every sampled state is an evaluation state) and
+    all S pseudo-states share ONE observable row, the augmented weight
+    rows are scalar multiples of the base rows:
+
+        W_L = diag(exp(logC - f)) W_0          (same states, renormalized)
+        W_S = diag(E) (A o W_0)[lidx]          (observable-weighted rows)
+
+    so the (K+NL+S)^2 augmented Gram collapses to THREE K x K Grams —
+    M0 = W_0 W_0^T, M1 = W_0 diag(A) W_0^T, M2 = W_0 diag(A^2) W_0^T —
+    plus diagonal scalings applied on host (exact, f64).  That is ~3x
+    fewer MXU flops and 3x fewer exp slabs than materializing the
+    augmented block (9 K^2 -> 3 K^2 at S = NL = K), which dominates
+    compute_expectations wall time at the GB scale."""
+    from pymbar_tpu.ops.mbar_core import _logden_direct
+
+    u_s = u_c if sws_mode == "identity" else jnp.take(u_c, sws, axis=0)
+    ld = _logden_direct(u_s, Ns, fs)
+    logw0 = f_k[:, None] - u_c - ld[None, :]
+    W0 = jnp.exp(logw0.astype(compute_dtype))
+    A = jnp.exp(la_row.astype(compute_dtype))  # (nc,)
+    WA = W0 * A[None, :]
+    M0 = jnp.dot(W0, W0.T, preferred_element_type=compute_dtype)
+    M1 = jnp.dot(W0, WA.T, preferred_element_type=compute_dtype)
+    M2 = jnp.dot(WA, WA.T, preferred_element_type=compute_dtype)
+    c0 = jnp.sum(W0, axis=1)
+    cA = jnp.sum(WA, axis=1)
+    rowsum = jnp.dot(Nk.astype(compute_dtype), W0).astype(jnp.float64)
+    bad = jnp.abs(rowsum - 1.0) > 1.0e-4
+    cnt = jnp.sum(bad)
+    lf = jnp.argmax(bad)
+    gidx = jnp.where(jnp.any(bad), base + lf, sentinel)
+    return (
+        M0.astype(jnp.float64), M1.astype(jnp.float64),
+        M2.astype(jnp.float64), c0.astype(jnp.float64),
+        cA.astype(jnp.float64), cnt, gidx, rowsum[lf],
+    )
+
+
+@_functools.partial(
+    _jax.jit, static_argnames=("compute_dtype", "sws_mode")
+)
+def _aug_pass_b_struct(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
+                       compute_dtype, sws_mode="gather"):
+    """One chunk of structured pass B (host-chunked streaming form)."""
+    return _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk,
+                              sentinel, compute_dtype, sws_mode)
+
+
+@_functools.partial(
+    _jax.jit,
+    static_argnames=("K", "compute_dtype", "num_chunks", "sws_mode"),
+)
+def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
+                            K, compute_dtype, num_chunks,
+                            sws_mode="gather"):
+    """Structured pass B as ONE device dispatch (fori_loop over n-chunks
+    of a device-resident u_kn) — the aliased twin of _aug_pass_b_scan."""
+    K_rows, N = u_kn.shape
+    nc = max(1, N // num_chunks)
+
+    def fold(acc, sl_u, sl_la, base):
+        M0, M1, M2, c0, cA, cnt, fidx, fval = acc
+        m0, m1, m2, c0_c, cA_c, cnt_c, gidx, val = _aug_b_struct_body(
+            sl_u, sl_la, base, sws, Ns, fs, f_k, Nk, sentinel,
+            compute_dtype, sws_mode,
+        )
+        take = gidx < fidx
+        return (
+            M0 + m0, M1 + m1, M2 + m2, c0 + c0_c, cA + cA_c,
+            cnt + cnt_c, jnp.where(take, gidx, fidx),
+            jnp.where(take, val, fval),
+        )
+
+    def body(ci, acc):
+        sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
+        sl_la = _jax.lax.dynamic_slice(logA_row, (ci * nc,), (nc,))
+        return fold(acc, sl_u, sl_la, (ci * nc).astype(jnp.int64))
+
+    init = (
+        jnp.zeros((K, K)), jnp.zeros((K, K)), jnp.zeros((K, K)),
+        jnp.zeros(K), jnp.zeros(K),
+        jnp.asarray(0, jnp.int64), sentinel, jnp.asarray(0.0),
+    )
+    acc = _jax.lax.fori_loop(0, num_chunks, body, init)
+    rem = N - nc * num_chunks
+    if rem > 0:
+        acc = fold(
+            acc, u_kn[:, nc * num_chunks :], logA_row[nc * num_chunks :],
+            jnp.asarray(nc * num_chunks, jnp.int64),
+        )
+    return acc
 
 
 @_functools.partial(
@@ -1542,7 +1644,74 @@ class MBAR:
                 compute_dtype, sws_mode=sws_mode, lidx_mode=lidx_mode,
             )
 
-        if device_scan:
+        # Structured aliased Gram: with u_ln aliasing u_kn and all S
+        # pseudo-states sharing one observable row, the augmented rows are
+        # scalar multiples of the base rows and the (K+NL+S)^2 Gram
+        # collapses to three K x K Grams (see _aug_b_struct_body) — 3x
+        # fewer MXU flops and exp slabs at msize = 3K.
+        struct_b = (
+            _STRUCT_AUG_GRAM and u_ln_alias and S > 0 and NL == K
+            and _idx_mode(i_of_s, logA.shape[0]) == "zero"
+        )
+        if struct_b:
+            la_row = logA[0]
+            if device_scan:
+                out = _aug_pass_b_scan_struct(
+                    self.u_kn, jnp.asarray(la_row), sws_dev, Ns_dev,
+                    fs_dev, f_dev, Nk_dev, sentinel, K, compute_dtype,
+                    scan_div * len(starts), sws_mode=sws_mode,
+                )
+                M0, M1, M2 = (np.asarray(o) for o in out[:3])
+                c0s, cAs = np.asarray(out[3]), np.asarray(out[4])
+                n_bad, first_bad, first_val = (
+                    int(out[5]), int(out[6]), float(out[7]),
+                )
+            else:
+                M0 = np.zeros((K, K))
+                M1 = np.zeros((K, K))
+                M2 = np.zeros((K, K))
+                c0s = np.zeros(K)
+                cAs = np.zeros(K)
+                n_bad, first_bad, first_val = 0, N + 1, 0.0
+                for c0 in starts:
+                    c1 = min(c0 + nc, N)
+                    out = _aug_pass_b_struct(
+                        jnp.asarray(self.u_kn[:, c0:c1]),
+                        jnp.asarray(la_row[c0:c1]),
+                        jnp.asarray(c0, dtype=jnp.int64),
+                        sws_dev, Ns_dev, fs_dev, f_dev, Nk_dev, sentinel,
+                        compute_dtype, sws_mode=sws_mode,
+                    )
+                    M0 += np.asarray(out[0])
+                    M1 += np.asarray(out[1])
+                    M2 += np.asarray(out[2])
+                    c0s += np.asarray(out[3])
+                    cAs += np.asarray(out[4])
+                    n_bad += int(out[5])
+                    if int(out[6]) < first_bad:
+                        first_bad = int(out[6])
+                        first_val = float(out[7])
+            # host assembly (exact f64 diagonal scalings)
+            D_L = np.exp(log_C - self.f_k)  # W_L = diag(D_L) W_0
+            E = np.exp(
+                np.asarray(f_sa) + log_C[l_of_s] - self.f_k[l_of_s]
+            )  # W_S = diag(E) (A o W_0)[lidx]
+            gram = np.empty((msize, msize))
+            gram[:K, :K] = M0
+            gram[:K, K : 2 * K] = M0 * D_L[None, :]
+            gram[K : 2 * K, :K] = gram[:K, K : 2 * K].T
+            gram[K : 2 * K, K : 2 * K] = D_L[:, None] * M0 * D_L[None, :]
+            G0S = M1[:, l_of_s] * E[None, :]
+            gram[:K, 2 * K :] = G0S
+            gram[2 * K :, :K] = G0S.T
+            GLS = D_L[:, None] * G0S
+            gram[K : 2 * K, 2 * K :] = GLS
+            gram[2 * K :, K : 2 * K] = GLS.T
+            gram[2 * K :, 2 * K :] = (
+                E[:, None] * M2[np.ix_(l_of_s, l_of_s)] * E[None, :]
+            )
+            colsum = np.concatenate([c0s, D_L * c0s, E * cAs[l_of_s]])
+        elif device_scan:
             g_c, cs_c, cnt, gidx, val = _aug_pass_b_scan(
                 self.u_kn, u_ln_dev, logA_dev, iofs_dev, sws_dev, Ns_dev,
                 fs_dev, f_dev, logC_dev, obs_shift, lidx_dev, Nk_dev,
@@ -1583,6 +1752,12 @@ class MBAR:
         # default / svd-ew (the reference maps method='bootstrap' here too)
         N_aug = np.zeros(msize)
         N_aug[:K] = self.N_k
+        nnz = int(np.count_nonzero(self.N_k))
+        if msize >= 1024 and msize >= 2 * nnz:
+            # augmented space much larger than the sampled-state count:
+            # the rank-nnz route computes the same Theta from a K-sized
+            # eigh instead of an msize-sized eigh + pinv
+            return f_aug, self._theta_svd_ew_lowrank(gram, N_aug), boot
         return f_aug, self._theta_svd_ew_from_gram(gram, N_aug), boot
 
     def compute_covariance_of_sums(self, d_ij, K, a):
@@ -1765,8 +1940,8 @@ class MBAR:
             diag[0:K] = diag[K : 2 * K] = (
                 inner_results["observables"] - inner_results["Amin"]
             )
-            Adiag = np.diag(diag)
-            Theta = Adiag @ inner_results["Theta"] @ Adiag
+            # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
+            Theta = diag[:, None] * inner_results["Theta"] * diag[None, :]
             covA_ij = np.array(
                 Theta[0:K, 0:K]
                 + Theta[K : 2 * K, K : 2 * K]
@@ -1887,8 +2062,8 @@ class MBAR:
             diag[0:I] = diag[I : 2 * I] = (
                 inner_results["observables"] - inner_results["Amin"]
             )
-            Adiag = np.diag(diag)
-            Theta = Adiag @ inner_results["Theta"] @ Adiag
+            # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
+            Theta = diag[:, None] * inner_results["Theta"] * diag[None, :]
 
             if compute_uncertainty:
                 covA_ij = np.array(
@@ -2073,8 +2248,8 @@ class MBAR:
         diag[0:K] = diag[K : 2 * K] = (
             inner_results["observables"] - inner_results["Amin"]
         )
-        Adiag = np.diag(diag)
-        Theta = Adiag @ Theta @ Adiag
+        # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
+        Theta = diag[:, None] * Theta * diag[None, :]
 
         result_vals = dict()
         f_k = inner_results["f"]
@@ -2225,6 +2400,47 @@ class MBAR:
         inner = I - VS.T @ (Np[:, None] * VS)
         inner_pinv = np.linalg.pinv(inner, rcond=1.0e-10)
         return VS @ inner_pinv @ VS.T
+
+    @staticmethod
+    def _theta_svd_ew_lowrank(gram, N_k, rows=None):
+        """The same Eq. D4/D5 covariance as :meth:`_theta_svd_ew_from_gram`,
+        computed through the rank structure of ``diag(N)``.
+
+        With X = V Sigma (so G = X X^T) and Z the m x nnz matrix holding
+        sqrt(N_k) e_k for the nnz sampled states, the inner matrix is
+        I - U U^T with U = X^T Z of rank <= nnz, so its pinv expands
+        spectrally from eigh of the SMALL matrix
+
+            H = U^T U = Z^T G Z = diag(sqrt(N)) G_ss diag(sqrt(N)),
+
+        giving Theta = G + F diag(phi) F^T with F = G Z P (P = eigvecs of
+        H) and phi_i = 1/(1-lam_i), or -1/lam_i on pinv-truncated
+        directions (|1-lam_i| <= rcond * smax, matching np.linalg.pinv's
+        relative cutoff; the complement spectrum of the inner matrix is
+        exactly 1).  At the augmented-expectations shape (m = 3K, nnz = K)
+        this replaces an m-eigh + m-pinv + three m^2-matmuls with ONE
+        K-eigh + two thin matmuls — the difference between ~50 s and ~2 s
+        of host time at K = 1024.  Agrees with the dense path to spectral
+        roundoff (the dense path's negative-eigenvalue clamp perturbs G by
+        ~1e-16 |G|; exactness gate in tests/test_mbar.py).
+
+        ``rows`` optionally restricts the output to Theta[rows][:, rows]
+        without assembling the full m x m matrix.
+        """
+        Np = np.asarray(N_k, dtype=np.float64)
+        nz = np.nonzero(Np > 0)[0]
+        sq = np.sqrt(Np[nz])
+        H = gram[np.ix_(nz, nz)] * sq[:, None] * sq[None, :]
+        lam, P = np.linalg.eigh(H)
+        one_minus = 1.0 - lam
+        smax = max(float(np.max(np.abs(one_minus), initial=0.0)), 1.0)
+        trunc = np.abs(one_minus) <= 1.0e-10 * smax
+        with np.errstate(divide="ignore"):
+            phi = np.where(trunc, -1.0 / lam, 1.0 / np.where(trunc, 1.0, one_minus))
+        G_rows = gram if rows is None else gram[rows]
+        F = (G_rows[:, nz] * sq[None, :]) @ P
+        base = gram if rows is None else gram[np.ix_(rows, rows)]
+        return base + (F * phi[None, :]) @ F.T
 
     def _compute_theta_streamed(self, method=None):
         """Theta over the base K states with W consumed in Gram form only.

@@ -558,6 +558,71 @@ def test_device_scan_expectations_match_host_chunked(monkeypatch):
         )
 
 
+def test_theta_lowrank_matches_dense():
+    """The rank-nnz svd-ew covariance (K-sized eigh) must agree with the
+    dense eigh+pinv path to spectral roundoff, on an actual augmented
+    MBAR Gram (including zero-sample states) and with row restriction."""
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([200, 150, 0, 180], mode="u_kn", seed=31)
+    N_k = np.array([200, 150, 0, 180])
+    m = MBAR(u_kn, N_k)
+    K, N = m.K, m.N
+    # augmented Gram exactly as the streamed path builds it: [W0; WL; WS]
+    W0 = np.asarray(m.weights())  # (N, K), columns normalized
+    logw_n = -np.asarray(
+        m._computeUnnormalizedLogWeights(np.asarray(u_kn[1]) + 0.25)
+    )
+    WL = np.exp(-logw_n - np.asarray(u_kn[1]) - 0.25)
+    WL = WL / WL.sum()
+    A = x_n - x_n.min() + 0.1
+    WS = A * WL
+    WS = WS / WS.sum()
+    Waug = np.concatenate([W0.T, WL[None], WS[None]], axis=0)  # (K+2, N)
+    gram = Waug @ Waug.T
+    N_aug = np.concatenate([N_k.astype(float), [0.0, 0.0]])
+
+    dense = MBAR._theta_svd_ew_from_gram(gram, N_aug)
+    lowrank = MBAR._theta_svd_ew_lowrank(gram, N_aug)
+    scale = np.max(np.abs(dense))
+    np.testing.assert_allclose(lowrank, dense, rtol=1e-8, atol=1e-12 * scale)
+
+    rows = np.array([0, 2, K, K + 1])
+    sub = MBAR._theta_svd_ew_lowrank(gram, N_aug, rows=rows)
+    np.testing.assert_allclose(
+        sub, dense[np.ix_(rows, rows)], rtol=1e-8, atol=1e-12 * scale
+    )
+
+
+def test_structured_alias_gram_matches_unstructured(monkeypatch):
+    """The structured aliased augmented Gram (three K x K Grams + diagonal
+    scalings, mbar._aug_b_struct_body) must reproduce the unstructured
+    (K+NL+S)^2 streamed Gram: same Theta-derived sigmas on identical
+    inputs, both in the host-chunked and the device-scan form."""
+    import jax.numpy as jnp
+
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([300, 250, 280, 270], mode="u_kn", seed=21)
+    N_k = np.array([300, 250, 280, 270])
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+
+    for resident in (False, True):
+        m = MBAR(u_kn, N_k, rseed=3)
+        if resident:
+            m.u_kn = jnp.asarray(m.u_kn)
+        results = {}
+        for flag in (True, False):
+            monkeypatch.setattr(mbar_mod, "_STRUCT_AUG_GRAM", flag)
+            results[flag] = m.compute_expectations(x_n, return_theta=True)
+        for field in results[True]:
+            np.testing.assert_allclose(
+                results[True][field], results[False][field],
+                rtol=1e-10, atol=1e-12,
+                err_msg=f"{field} structured != unstructured (resident={resident})",
+            )
+
+
 def test_device_scan_alias_compute_expectations(monkeypatch):
     """compute_expectations(x_n) passes u_ln = self.u_kn (the alias): with a
     device-resident matrix the scan path must reuse the SAME buffer (no
