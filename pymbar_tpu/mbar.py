@@ -24,6 +24,7 @@ import numpy as np
 
 from pymbar_tpu import solvers as mbar_solvers
 from pymbar_tpu.ops.logsumexp import logsumexp as dev_logsumexp
+from pymbar_tpu.ops.mbar_core import HIGHEST as _HI
 from pymbar_tpu.ops.mbar_core import log_denominator_n as dev_log_denominator_n
 from pymbar_tpu.ops.mbar_core import mbar_gram_normalization, mbar_log_W_nk
 from pymbar_tpu.solvers import (
@@ -274,9 +275,13 @@ def _aug_b_body(
     W = jnp.exp(
         jnp.concatenate([logw0, logwL, logwS], axis=0).astype(compute_dtype)
     )
-    gram = jnp.dot(W, W.T, preferred_element_type=compute_dtype)
+    gram = jnp.dot(
+        W, W.T, preferred_element_type=compute_dtype, precision=_HI
+    )
     colsum = jnp.sum(W, axis=1)
-    rowsum = jnp.dot(Nk.astype(compute_dtype), W[:K]).astype(jnp.float64)
+    rowsum = jnp.dot(
+        Nk.astype(compute_dtype), W[:K], precision=_HI
+    ).astype(jnp.float64)
     bad = jnp.abs(rowsum - 1.0) > 1.0e-4
     cnt = jnp.sum(bad)
     lf = jnp.argmax(bad)
@@ -315,12 +320,14 @@ def _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
     W0 = jnp.exp(logw0.astype(compute_dtype))
     A = jnp.exp(la_row.astype(compute_dtype))  # (nc,)
     WA = W0 * A[None, :]
-    M0 = jnp.dot(W0, W0.T, preferred_element_type=compute_dtype)
-    M1 = jnp.dot(W0, WA.T, preferred_element_type=compute_dtype)
-    M2 = jnp.dot(WA, WA.T, preferred_element_type=compute_dtype)
+    M0 = jnp.dot(W0, W0.T, preferred_element_type=compute_dtype, precision=_HI)
+    M1 = jnp.dot(W0, WA.T, preferred_element_type=compute_dtype, precision=_HI)
+    M2 = jnp.dot(WA, WA.T, preferred_element_type=compute_dtype, precision=_HI)
     c0 = jnp.sum(W0, axis=1)
     cA = jnp.sum(WA, axis=1)
-    rowsum = jnp.dot(Nk.astype(compute_dtype), W0).astype(jnp.float64)
+    rowsum = jnp.dot(
+        Nk.astype(compute_dtype), W0, precision=_HI
+    ).astype(jnp.float64)
     bad = jnp.abs(rowsum - 1.0) > 1.0e-4
     cnt = jnp.sum(bad)
     lf = jnp.argmax(bad)

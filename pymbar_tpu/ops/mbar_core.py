@@ -34,6 +34,12 @@ import jax.numpy as jnp
 
 from pymbar_tpu.utils import ensure_type
 
+# TPU f32 matmuls default to single-pass bf16 MXU arithmetic (~9e-4
+# relative Gram error, measured); Grams that feed covariance output or
+# the polish chord factor request the 6-pass f32 decomposition instead
+# (~2e-6 relative, ~2.3x the matmul time).  No-op on CPU.
+HIGHEST = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "validate_inputs",
     "log_denominator_n",
@@ -254,7 +260,9 @@ _GRAM_CHUNK_BYTES = 64 * 1024 * 1024
 def _gram_direct(u_kn, N_k, f_k):
     logden = log_denominator_n(u_kn, N_k, f_k)
     w_kn = jnp.exp(f_k[:, None] - u_kn - logden[None, :])
-    gram = jnp.dot(w_kn, w_kn.T, preferred_element_type=w_kn.dtype)
+    gram = jnp.dot(
+        w_kn, w_kn.T, preferred_element_type=w_kn.dtype, precision=HIGHEST
+    )
     colsum = jnp.sum(w_kn, axis=1)
     return gram, colsum
 
@@ -277,7 +285,8 @@ def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
         ldc = jax.lax.dynamic_slice(logden, (c * nc,), (nc,))
         w = jnp.exp((f_k[:, None] - sl - ldc[None, :]).astype(acc_dtype))
         return (
-            acc[0] + jnp.dot(w, w.T, preferred_element_type=acc_dtype),
+            acc[0]
+            + jnp.dot(w, w.T, preferred_element_type=acc_dtype, precision=HIGHEST),
             acc[1] + jnp.sum(w, axis=1),
         )
 
@@ -294,7 +303,9 @@ def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
         sl = u_kn[:, nc * num_chunks :]
         ldc = logden[nc * num_chunks :]
         w = jnp.exp((f_k[:, None] - sl - ldc[None, :]).astype(acc_dtype))
-        gram = gram + jnp.dot(w, w.T, preferred_element_type=acc_dtype)
+        gram = gram + jnp.dot(
+            w, w.T, preferred_element_type=acc_dtype, precision=HIGHEST
+        )
         colsum = colsum + jnp.sum(w, axis=1)
 
     return gram.astype(u_kn.dtype), colsum.astype(u_kn.dtype)
@@ -304,10 +315,13 @@ def _gram_blocked(u_kn, N_k, f_k, num_chunks, acc_dtype):
 def gram_f32_acc64(u_kn32, N_k32, f_k32, c32=None, num_chunks=64):
     """Blocked Gram with f32 MXU matmuls per chunk and f64 chunk accumulation.
 
-    On TPU the f32 matmul's in-chunk accumulation error (~1e-6 relative over
-    ~1e4-sample chunks) is what limits Newton's contraction rate in the
-    double-word polish; summing the per-chunk K x K partials in (emulated)
-    f64 removes the cross-chunk part at negligible cost.  ``c32`` supplies
+    The dot requests ``precision=HIGHEST`` (6-pass f32, ~2e-6 relative vs
+    ~9e-4 for the TPU default single-pass bf16 arithmetic, both measured).
+    For the polish chord factor this is rate-NEUTRAL — the contraction
+    floor is cond(H)-amplified noise either way (docs/numerics.md) — but
+    the cost is ~ms on a subsample and the same Gram seeds bootstrap
+    retry factors; summing the per-chunk K x K partials in (emulated) f64
+    removes the cross-chunk accumulation error at negligible cost.  ``c32`` supplies
     optional (N,) per-sample counts (bootstrap multiplicities): the result
     becomes the weighted Gram W diag(c) W^T and colsum sum_n c_n W_nk —
     the Hessian aggregates of a counts-reweighted (resampled) problem.
@@ -324,7 +338,9 @@ def gram_f32_acc64(u_kn32, N_k32, f_k32, c32=None, num_chunks=64):
         # (sharded dd layout) would be phantom weight-1 samples: zero them.
         w = jnp.where(sl >= jnp.float32(5.0e9), jnp.float32(0.0), w)
         wc = w if cc is None else w * cc[None, :]
-        g = jnp.dot(wc, w.T, preferred_element_type=jnp.float32)
+        g = jnp.dot(
+            wc, w.T, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
         return g.astype(jnp.float64), jnp.sum(wc, axis=1).astype(jnp.float64)
 
     def body(c, acc):
@@ -396,10 +412,14 @@ def _gram_norm_blocked(u_kn, N_k, f_k, tolerance, num_chunks, compute_dtype):
         )
         # Sentinel pad columns (sharded dd layout) are phantom samples.
         w = jnp.where(sl.astype(compute_dtype) >= 5.0e9, 0.0, w)
-        g = jnp.dot(w, w.T, preferred_element_type=compute_dtype)
+        g = jnp.dot(
+            w, w.T, preferred_element_type=compute_dtype, precision=HIGHEST
+        )
         gram = gram + g.astype(jnp.float64)
         colsum = colsum + jnp.sum(w, axis=1).astype(jnp.float64)
-        rowsum = jnp.dot(N_k.astype(compute_dtype), w).astype(jnp.float64)
+        rowsum = jnp.dot(
+            N_k.astype(compute_dtype), w, precision=HIGHEST
+        ).astype(jnp.float64)
         bad = jnp.abs(rowsum - 1.0) > tolerance
         cnt = cnt + jnp.sum(bad)
         local_first = jnp.argmax(bad)
@@ -441,9 +461,10 @@ def mbar_gram_normalization(u_kn, N_k, f_k, tolerance=1.0e-4):
     pass over the (K, N) layout: Gram and per-state column sums in f64, plus
     (bad row count, first bad row index, its row sum) for the
     sum_k N_k W_nk = 1 check.  On TPU with f64 inputs the per-chunk matmul
-    runs in f32 on the MXU with f64 chunk accumulation (the same recipe as
-    :func:`gram_f32_acc64`: ~1e-9 relative Gram accuracy at a fraction of
-    the emulated-f64 cost); on CPU everything is native f64.
+    runs in f32 on the MXU (``precision=HIGHEST`` — the default single-pass
+    bf16 arithmetic has ~9e-4 relative error, measured; the 6-pass f32
+    decomposition reaches ~2e-6) with f64 chunk accumulation, a fraction of
+    the emulated-f64 cost; on CPU everything is native f64.
 
     Replaces the reference's host N×K materialization
     (mbar.py:1756-1864 consuming exp(Log_W_nk)) — at the BASELINE north star

@@ -186,7 +186,10 @@ def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         pad = _is_pad_col(u_local)
         logden = jnp.where(pad, 0.0, logden)
         w = jnp.exp(f_k[:, None] - u_local - logden[None, :])
-        gram_local = jnp.dot(w, w.T, preferred_element_type=w.dtype)
+        gram_local = jnp.dot(
+            w, w.T, preferred_element_type=w.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         colsum_local = jnp.sum(w, axis=1)
         return (
             jax.lax.psum(gram_local, axis_name),
@@ -402,7 +405,10 @@ def _chunked_w_gram(w, c=None):
         wv = jnp.pad(wv, ((0, 0), (0, n_pad)))
     wc = w.reshape(K_l, C, -1)
     wvc = wv.reshape(K_l, C, -1)
-    g = jnp.einsum("kcn,jcn->ckj", wvc, wc, preferred_element_type=jnp.float32)
+    g = jnp.einsum(
+        "kcn,jcn->ckj", wvc, wc, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     gram = jnp.sum(g.astype(jnp.float64), axis=0)
     colsum = jnp.sum(wv.astype(jnp.float64), axis=1)
     return gram, colsum
@@ -419,7 +425,10 @@ def _chunked_pair_gram(a, b):
         b = jnp.pad(b, ((0, 0), (0, n_pad)))
     ac = a.reshape(K_a, C, -1)
     bc = b.reshape(b.shape[0], C, -1)
-    g = jnp.einsum("kcn,jcn->ckj", ac, bc, preferred_element_type=jnp.float32)
+    g = jnp.einsum(
+        "kcn,jcn->ckj", ac, bc, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.sum(g.astype(jnp.float64), axis=0)
 
 
@@ -939,8 +948,9 @@ def sharded_solve_mbar_dd(
     # problems solve a 1/16-strided subsample of the sharded plane — a
     # consistent MBAR estimate ~1e-2 from the full solution at 1/16 the
     # per-pass cost — and take the polish chord factor from the subsample
-    # Gram (gram_full ~ gram_sub / ratio; see solvers_large.solve_mbar_dd).
-    # Small problems run the adaptive loop on the full plane as before.
+    # Gram (gram_full ~ gram_sub / ratio; measured-optimal, see
+    # solvers_large.solve_mbar_dd).  Small problems run the adaptive loop
+    # on the full plane as before.
     hinv = None
     it32 = 0
     it32_coarse = 0
@@ -1284,8 +1294,9 @@ def sharded2d_solve_mbar_dd(
     N_cols = int(np.asarray(u_hi).shape[1])
     # Subsample down to ~32 samples/state (the chord factor only needs
     # ~1e-2 relative accuracy — its 1/sqrt(n_sub/K) statistical error at 32
-    # samples/state matches the f32 Gram's own floor); the 64 cap bounds
-    # phase 1's distance from the full solution at huge N/K ratios.
+    # samples/state matches the rate floor set by cond(H)-amplified f32
+    # Gram noise); the 64 cap bounds phase 1's distance from the full
+    # solution at huge N/K ratios.
     stride2 = int(np.clip(N_cols // max(32 * K, 1), 1, 64))
     if stride2 > 1:
         Dn = mesh.shape["n"]
@@ -1349,7 +1360,7 @@ def sharded2d_solve_mbar_dd(
     g = np.asarray(g64)[:K]
 
     if not converged:
-        # Newton off the subsample factor failed to contract (rare): fall
+        # Newton off the chord factor failed to contract (rare): fall
         # back to the Hessian-free dd Anderson SC iteration.
         def sc_dd(fv):
             gh, gl = dd_from_f64(jnp.asarray(fv + logN))

@@ -261,7 +261,11 @@ def bootstrap_polish_dd(
     factor ``hinv``; the start error is the bootstrap fluctuation itself
     (~1/sqrt(N_k)), so ~5-8 passes reach the ~1e-12 floor.  A replicate
     whose polish fails to contract retries once with a fresh
-    counts-weighted f32-Gram factor.
+    counts-weighted f32-Gram factor.  (A per-replicate weighted factor +
+    f32 pre-step was measured in round 3 and rejected: the pre-step is
+    broken by cond(H)-amplified f32 gradient noise — it DISPLACES the
+    iterate ~5e-3 — and the weighted factor's rate gain does not repay
+    its Gram-plus-factorization cost.)
 
     Parameters: ``counts`` is (B, N) integer-valued resample multiplicities
     (rows sum to N, per-state block sums to N_k).  Returns
@@ -464,11 +468,13 @@ def solve_mbar_dd(
 
         # The dd polish's chord factor comes from the SUBSAMPLE Gram at the
         # coarse endpoint: W columns normalize to 1 whatever the sample
-        # count, so individual weights scale as 1/N — gram_full ~
-        # gram_sub / ratio while colsums stay ~1.  Its ~1/sqrt(n_sub)
-        # statistical error matches the ~1e-2 contraction the full-plane
-        # f32 Gram delivers anyway, and it replaces a full-plane Gram pass
-        # (~0.08 s at the 8 GB bench config) with a 1/stride-cost one.
+        # count, so gram_full ~ gram_sub / ratio while colsums stay ~1.
+        # This is measured-optimal, not merely cheap: the chord rate floors
+        # at ~1e-3..3e-3/iteration from the f32 MXU Gram noise amplified by
+        # cond(H) — a full-plane Gram, precision=HIGHEST matmuls, and even
+        # a factor evaluated AT the converged solution all leave the rate
+        # unchanged (round-3 measurements, docs/numerics.md) — so the
+        # 1/stride-cost estimate is as good as any affordable factor.
         gram_s, colsum_s = gram_f32_acc64(u_sub, N_sub32, f32_coarse)
         ratio = float(N_k_host.sum()) / float(N_k_sub.sum())
         hinv = _newton_factor(gram_s / ratio, colsum_s, N_k64)
@@ -477,10 +483,11 @@ def solve_mbar_dd(
     # When the coarse phase ran, the dd polish starts DIRECTLY from its
     # endpoint: a full-plane f32 core_stats pass costs nearly as much as a
     # dd polish pass (hi plane + heavier math vs both planes), and with
-    # ~1e-2 chord contraction the coarse endpoint's ~1e-2 statistical error
-    # costs at most one extra polish iteration — strictly cheaper than any
-    # f32 refinement loop.  If the polish then fails to contract (bad
-    # subsample factor), the f32 adaptive loop runs as a fallback below.
+    # ~1e-3..3e-3 chord contraction the coarse endpoint's ~1e-2 statistical
+    # error costs at most one extra polish iteration — strictly cheaper
+    # than any f32 refinement loop (whose accuracy is in any case capped
+    # at ~5e-3 by cond(H)-amplified f32 gradient noise).  If the polish
+    # fails to contract, the f32 adaptive loop runs as a fallback below.
     it32 = 0
     if not it32_coarse:
         f32_out, it32, sci, nr, max_delta32, done32 = _adaptive_while(
@@ -505,11 +512,12 @@ def solve_mbar_dd(
     # ---- phase 2: double-word Newton polish on the wsum kernel.
     # One fused pass per iteration produces S_k = sum_n N_k W_nk in dd; the
     # gradient is g_k = S_k - N_k exactly (no log/exp roundtrip) and the
-    # chord-Newton step uses the frozen Cholesky factor of the f32-Gram
-    # Hessian.  The frozen factor contracts ~1e-2 per iteration all the way
-    # to the ~1e-12 delta floor (measured; refreshing it mid-polish does not
-    # improve the rate — the f32 Gram's accuracy is the limit — so no
-    # refresh pass is spent).
+    # chord-Newton step uses the frozen explicit inverse of the f32-Gram
+    # Hessian.  The frozen factor contracts ~1e-3..5e-3 per iteration all
+    # the way to the ~1e-12 delta floor: the rate is pinned by the f32 MXU
+    # Gram noise amplified through cond(H), so no refresh, full-plane
+    # Gram, or higher-precision matmul is spent on it (each measured
+    # rate-neutral in round 3 — docs/numerics.md).
     logN = jnp.log(N_k64)
     if hinv is None:
         # No coarse phase ran (small N): factor from the full plane.
