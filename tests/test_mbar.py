@@ -623,6 +623,32 @@ def test_structured_alias_gram_matches_unstructured(monkeypatch):
             )
 
 
+def test_streamed_expectations_f32_compute_floor(monkeypatch):
+    """The streamed expectations path under the TPU compute policy
+    (f32 Grams; forced here by patching on_tpu) must stay within the f32
+    floor of the f64 materializing branch — the sigma tolerance mirrors
+    the round-3 TPU drive gate (2e-3 relative; TPU-measured 2e-4 after
+    the precision=HIGHEST fix, 11% before it)."""
+    import pymbar_tpu.config as cfg
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([400, 350, 380, 370], mode="u_kn", seed=11)
+    N_k = np.array([400, 350, 380, 370])
+    m = MBAR(u_kn, N_k)
+
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+    monkeypatch.setattr(cfg, "on_tpu", lambda: True)
+    ex32 = m.compute_expectations(x_n)
+    monkeypatch.setattr(cfg, "on_tpu", lambda: False)
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 1 << 62)
+    ex64 = m.compute_expectations(x_n)
+
+    np.testing.assert_allclose(ex32["mu"], ex64["mu"], rtol=1e-6, atol=1e-9)
+    rel = np.max(np.abs(ex32["sigma"] - ex64["sigma"]) / ex64["sigma"])
+    assert rel < 2e-3, rel
+
+
 def test_device_scan_alias_compute_expectations(monkeypatch):
     """compute_expectations(x_n) passes u_ln = self.u_kn (the alias): with a
     device-resident matrix the scan path must reuse the SAME buffer (no
