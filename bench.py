@@ -245,9 +245,11 @@ def tpu_solve():
         return f, info
 
     f, info = solve()  # warm-up / compile
-    t0 = time.time()
-    f, info = solve()
-    solve_s = time.time() - t0
+    solve_s = np.inf  # best of 3 (tunnel walls vary ~15% run-to-run)
+    for _ in range(3):
+        t0 = time.time()
+        f, info = solve()
+        solve_s = min(solve_s, time.time() - t0)
 
     f = f - f[0]
     delta_f_rmse = float(np.sqrt(np.mean((f - f_analytic) ** 2)))
@@ -382,10 +384,12 @@ def tpu_solve():
 
     del u64, out, m
 
+    sigma_rel = sigma_parity_check(jax, jnp)
     k4096 = k4096_slice(jax, jnp)
 
     return dict(
         solve_s=solve_s,
+        sigma_rel_err_streamed_vs_f64=sigma_rel,
         f32_iterations="%d coarse + %d full"
         % (info.get("f32_coarse_iterations", 0), info["f32_iterations"]),
         polish_iterations=info["polish_iterations"],
@@ -412,6 +416,37 @@ def tpu_solve():
         expectations_all_states_s=round(expectations_all_states_s, 3),
         **k4096,
     )
+
+
+def sigma_parity_check(jax, jnp):
+    """Max relative sigma deviation of the streamed f32-Gram expectations
+    path vs the f64 materializing branch, on TPU.
+
+    A canary for TPU-only matmul-precision regressions: with the default
+    single-pass bf16 dots this read ~1.1e-1 (round 3); with
+    precision=HIGHEST on the covariance Grams it sits at the ~2e-4 f32
+    compute floor.  The CPU test suite cannot see this class of bug.
+    Small config (K=32 x N=2e5) with the streamed path forced via
+    _AUG_STREAM_BYTES so both branches run in seconds.
+    """
+    import pymbar_tpu.mbar as mbar_mod
+    from pymbar_tpu import MBAR, testsystems
+
+    Ks = 32
+    tc = testsystems.HarmonicOscillatorsTestCase(
+        O_k=np.linspace(0, 2, Ks), K_k=np.linspace(1, 3, Ks)
+    )
+    x_n, u_kn, N_k, s_n = tc.sample(N_k=[6000] * Ks, mode="u_kn", seed=17)
+    m = MBAR(u_kn, N_k)
+    saved = mbar_mod._AUG_STREAM_BYTES
+    try:
+        mbar_mod._AUG_STREAM_BYTES = 0
+        ex = m.compute_expectations(x_n)
+        mbar_mod._AUG_STREAM_BYTES = 1 << 62
+        ex64 = m.compute_expectations(x_n)
+    finally:
+        mbar_mod._AUG_STREAM_BYTES = saved
+    return float(np.max(np.abs(ex["sigma"] - ex64["sigma"]) / ex64["sigma"]))
 
 
 def k4096_slice(jax, jnp):
@@ -467,9 +502,11 @@ def k4096_slice(jax, jnp):
 
     Nk_host = np.full(K4, float(NPK4))
     f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)  # compile + run
-    t0 = time.time()
-    f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)
-    solve_s = time.time() - t0
+    solve_s = np.inf  # best of 3 (tunnel walls vary ~15% run-to-run)
+    for _ in range(3):
+        t0 = time.time()
+        f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)
+        solve_s = min(solve_s, time.time() - t0)
 
     gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k))
     out = wsum_dd(uh, ul, gh, gl)
@@ -598,6 +635,9 @@ def main():
                 cov_s=result["cov_s"],
                 expectations_s=result["expectations_s"],
                 expectations_all_states_s=result["expectations_all_states_s"],
+                sigma_rel_err_streamed_vs_f64=result[
+                    "sigma_rel_err_streamed_vs_f64"
+                ],
                 k4096_solve_s=result["k4096_solve_s"],
                 k4096_gnorm=result["k4096_gnorm"],
                 k4096_gnorm_per_sample=result["k4096_gnorm_per_sample"],
