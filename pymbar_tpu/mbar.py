@@ -296,30 +296,40 @@ def _aug_b_body(
 
 
 def _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
-                       compute_dtype, sws_mode="gather"):
+                       compute_dtype, sws_mode="gather", a_mode="logrow"):
     """Structured pass-B chunk math for the aliased augmented space.
 
-    When ``u_ln is u_kn`` (every sampled state is an evaluation state) and
-    all S pseudo-states share ONE observable row, the augmented weight
-    rows are scalar multiples of the base rows:
+    When ``u_ln is u_kn`` (every sampled state is an evaluation state) the
+    W_L rows are scalar multiples of the base rows,
 
         W_L = diag(exp(logC - f)) W_0          (same states, renormalized)
         W_S = diag(E) (A o W_0)[lidx]          (observable-weighted rows)
 
-    so the (K+NL+S)^2 augmented Gram collapses to THREE K x K Grams —
-    M0 = W_0 W_0^T, M1 = W_0 diag(A) W_0^T, M2 = W_0 diag(A^2) W_0^T —
-    plus diagonal scalings applied on host (exact, f64).  That is ~3x
-    fewer MXU flops and 3x fewer exp slabs than materializing the
-    augmented block (9 K^2 -> 3 K^2 at S = NL = K), which dominates
-    compute_expectations wall time at the GB scale."""
+    and in two common observable layouts the (K+NL+S)^2 augmented Gram
+    collapses to THREE K x K Grams —
+    M0 = W_0 W_0^T, M1 = W_0 (A o W_0)^T, M2 = (A o W_0)(A o W_0)^T —
+    plus diagonal scalings applied on host (exact, f64):
+
+    * ``a_mode='logrow'`` — all S pseudo-states share ONE observable row
+      (``la_row`` is its (nc,) log; compute_expectations at every state);
+    * ``a_mode='diag'`` — pseudo-state s pairs observable row s with
+      extra state s (``la_row`` is the (K, nc) observable slab itself,
+      NOT its log; entropy/enthalpy's u_kn-as-observable layout).
+
+    Either way this is ~3x fewer MXU flops and 3x fewer exp slabs than
+    materializing the augmented block (9 K^2 -> 3 K^2 at S = NL = K),
+    which dominates the covariance pass at the GB scale."""
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
     u_s = u_c if sws_mode == "identity" else jnp.take(u_c, sws, axis=0)
     ld = _logden_direct(u_s, Ns, fs)
     logw0 = f_k[:, None] - u_c - ld[None, :]
     W0 = jnp.exp(logw0.astype(compute_dtype))
-    A = jnp.exp(la_row.astype(compute_dtype))  # (nc,)
-    WA = W0 * A[None, :]
+    if a_mode == "diag":
+        WA = W0 * la_row.astype(compute_dtype)  # (K, nc) observable slab
+    else:
+        A = jnp.exp(la_row.astype(compute_dtype))  # (nc,)
+        WA = W0 * A[None, :]
     M0 = jnp.dot(W0, W0.T, preferred_element_type=compute_dtype, precision=_HI)
     M1 = jnp.dot(W0, WA.T, preferred_element_type=compute_dtype, precision=_HI)
     M2 = jnp.dot(WA, WA.T, preferred_element_type=compute_dtype, precision=_HI)
@@ -340,13 +350,13 @@ def _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
 
 
 @_functools.partial(
-    _jax.jit, static_argnames=("compute_dtype", "sws_mode")
+    _jax.jit, static_argnames=("compute_dtype", "sws_mode", "a_mode")
 )
 def _aug_pass_b_struct(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
-                       compute_dtype, sws_mode="gather"):
+                       compute_dtype, sws_mode="gather", a_mode="logrow"):
     """One chunk of structured pass B (host-chunked streaming form)."""
     return _aug_b_struct_body(u_c, la_row, base, sws, Ns, fs, f_k, Nk,
-                              sentinel, compute_dtype, sws_mode)
+                              sentinel, compute_dtype, sws_mode, a_mode)
 
 
 @_functools.partial(
@@ -1557,9 +1567,16 @@ class MBAR:
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
                     c_c = None if counts is None else jnp.asarray(counts[c0:c1])
+                    # with the alias, hand pass A the SAME device chunk for
+                    # u and u_ln — re-uploading it doubles the host->device
+                    # traffic that dominates this path's wall time
+                    u_dev_c = jnp.asarray(self.u_kn[:, c0:c1])
+                    ul_dev_c = (
+                        u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
+                    )
                     ml_c, sl_c, ms_c, ss_c = _aug_pass_a(
-                        jnp.asarray(self.u_kn[:, c0:c1]),
-                        jnp.asarray(u_ln[:, c0:c1]),
+                        u_dev_c,
+                        ul_dev_c,
                         jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
                         sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
@@ -1613,9 +1630,13 @@ class MBAR:
                 s_s = np.zeros((B, S))
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
+                    u_dev_c = jnp.asarray(self.u_kn[:, c0:c1])
+                    ul_dev_c = (
+                        u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
+                    )
                     ml_c, sl_c, ms_c, ss_c = _aug_pass_a_multi(
-                        jnp.asarray(self.u_kn[:, c0:c1]),
-                        jnp.asarray(u_ln[:, c0:c1]),
+                        u_dev_c,
+                        ul_dev_c,
                         jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
                         sws_dev, Ns_dev, fs_all, lidx_dev,
                         jnp.asarray(counts_all[:, c0:c1]),
@@ -1651,18 +1672,26 @@ class MBAR:
                 compute_dtype, sws_mode=sws_mode, lidx_mode=lidx_mode,
             )
 
-        # Structured aliased Gram: with u_ln aliasing u_kn and all S
-        # pseudo-states sharing one observable row, the augmented rows are
-        # scalar multiples of the base rows and the (K+NL+S)^2 Gram
-        # collapses to three K x K Grams (see _aug_b_struct_body) — 3x
-        # fewer MXU flops and exp slabs at msize = 3K.
-        struct_b = (
+        # Structured aliased Gram: with u_ln aliasing u_kn, two observable
+        # layouts collapse the (K+NL+S)^2 Gram to three K x K Grams (see
+        # _aug_b_struct_body) — 3x fewer MXU flops and exp slabs at
+        # msize = 3K: all S pseudo-states sharing ONE observable row
+        # (compute_expectations at every state), or pseudo-state s pairing
+        # observable row s with extra state s (entropy/enthalpy's
+        # u_kn-as-observable layout).
+        row0_b = (
             _STRUCT_AUG_GRAM and u_ln_alias and S > 0 and NL == K
             and _idx_mode(i_of_s, logA.shape[0]) == "zero"
         )
-        if struct_b:
-            la_row = logA[0]
-            if device_scan:
+        diag_b = (
+            _STRUCT_AUG_GRAM and u_ln_alias and S == K and NL == K
+            and not row0_b
+            and lidx_mode == "identity"
+            and _idx_mode(i_of_s, logA.shape[0]) == "identity"
+        )
+        if row0_b or diag_b:
+            la_row = logA[0] if row0_b else None
+            if row0_b and device_scan:
                 out = _aug_pass_b_scan_struct(
                     self.u_kn, jnp.asarray(la_row), sws_dev, Ns_dev,
                     fs_dev, f_dev, Nk_dev, sentinel, K, compute_dtype,
@@ -1682,12 +1711,22 @@ class MBAR:
                 n_bad, first_bad, first_val = 0, N + 1, 0.0
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
+                    if row0_b:
+                        a_chunk = jnp.asarray(la_row[c0:c1])
+                        a_mode = "logrow"
+                    else:
+                        # the (K, nc) observable slab itself, pre-cast so
+                        # the TPU upload is half the f64 log-row traffic
+                        a_chunk = jnp.asarray(
+                            np.asarray(A_n[:, c0:c1], dtype=compute_dtype)
+                        )
+                        a_mode = "diag"
                     out = _aug_pass_b_struct(
                         jnp.asarray(self.u_kn[:, c0:c1]),
-                        jnp.asarray(la_row[c0:c1]),
+                        a_chunk,
                         jnp.asarray(c0, dtype=jnp.int64),
                         sws_dev, Ns_dev, fs_dev, f_dev, Nk_dev, sentinel,
-                        compute_dtype, sws_mode=sws_mode,
+                        compute_dtype, sws_mode=sws_mode, a_mode=a_mode,
                     )
                     M0 += np.asarray(out[0])
                     M1 += np.asarray(out[1])
@@ -1739,9 +1778,13 @@ class MBAR:
             first_val = 0.0
             for c0 in starts:
                 c1 = min(c0 + nc, N)
+                u_dev_c = jnp.asarray(self.u_kn[:, c0:c1])
+                ul_dev_c = (
+                    u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
+                )
                 g_c, cs_c, cnt, gidx, val = pass_b(
-                    jnp.asarray(self.u_kn[:, c0:c1]),
-                    jnp.asarray(u_ln[:, c0:c1]),
+                    u_dev_c,
+                    ul_dev_c,
                     jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
                     jnp.asarray(c0, dtype=jnp.int64),
                 )

@@ -623,6 +623,31 @@ def test_structured_alias_gram_matches_unstructured(monkeypatch):
             )
 
 
+def test_diag_struct_gram_matches_unstructured(monkeypatch):
+    """The diag-mode structured Gram (pseudo-state s = observable row s x
+    extra state s, entropy/enthalpy's layout) must reproduce the
+    unstructured (3K)^2 streamed Gram through the public
+    compute_entropy_and_enthalpy front door."""
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([300, 250, 280, 270], mode="u_kn", seed=23)
+    N_k = np.array([300, 250, 280, 270])
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+
+    m = MBAR(u_kn, N_k)
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(mbar_mod, "_STRUCT_AUG_GRAM", flag)
+        results[flag] = m.compute_entropy_and_enthalpy(uncertainty_method="svd-ew")
+    for field in results[True]:
+        np.testing.assert_allclose(
+            results[True][field], results[False][field],
+            rtol=1e-10, atol=1e-12,
+            err_msg=f"{field} diag-structured != unstructured",
+        )
+
+
 def test_streamed_expectations_f32_compute_floor(monkeypatch):
     """The streamed expectations path under the TPU compute policy
     (f32 Grams; forced here by patching on_tpu) must stay within the f32
