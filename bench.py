@@ -37,6 +37,30 @@ CHUNKS = 16
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
+def _fence(*xs):
+    """Hard synchronization fence for timing.
+
+    ``jax.block_until_ready`` is UNRELIABLE under the tunneled axon
+    platform — measured returning immediately with device work still
+    pending (which silently turns a timing loop into a dispatch-latency
+    measurement).  A scalar device->host readback of a value that depends
+    on the result cannot complete before the computation has, so every
+    timed region in this file ends with one.
+    """
+    import jax as _jax
+
+    out = 0.0
+    for x in xs:
+        for leaf in _jax.tree_util.tree_leaves(x):
+            if isinstance(leaf, np.ndarray) or np.isscalar(leaf):
+                out += float(np.asarray(leaf).ravel()[0])
+            else:
+                # device array: scalar-index ON DEVICE (no bulk transfer),
+                # then a blocking scalar device->host read.
+                out += float(leaf.reshape(-1)[0])
+    return out
+
+
 def _setup():
     import jax
 
@@ -217,15 +241,77 @@ def measure_vpu_peak(outer=32768, inner=64, shape=(512, 512), reps=3):
     import numpy as _np
 
     x = jnp.asarray(_np.random.default_rng(0).uniform(0.5, 0.9, shape), jnp.float32)
-    out = run(x)
-    jax.block_until_ready(out)
+    _fence(run(x))  # warm-up / compile, hard-synced
     best = _np.inf
     for _ in range(reps):
         t0 = time.time()
         out = run(x)
-        jax.block_until_ready(out)
+        _fence(out)
         best = min(best, time.time() - t0)
     return 2.0 * shape[0] * shape[1] * outer * inner / best
+
+
+def measure_wsum_ceiling(K_pad=1024, tile=512, steps=8192, reps=3, fast=True):
+    """Attainable compute rate of the PRODUCTION wsum kernel, elements/s.
+
+    Runs the exact ``_wsum_kernel`` pallas body with the same block shapes
+    and grid machinery as the streaming kernel, but with every grid step's
+    index map pinned to block (0, 0) of a single-tile input: HBM reads hit
+    the same 4 MB over and over (DRAM row-buffer friendly, trivially
+    prefetchable), so the measured rate is what the kernel's COMPUTE can
+    sustain when memory is effectively free.  The streaming kernel's rate
+    divided by this is a true 0-100%% roofline fraction with the identical
+    compilation — no op counting involved (a jaxpr-derived semantic-op
+    count includes arithmetic Mosaic pairs into FMAs or folds away, which
+    is why the older semantic-ops-vs-VPU-peak ratio could exceed 100%%).
+    An alternative fori_loop-inside-one-grid-step formulation was tried
+    and rejected: Mosaic compiles the loop-carried body ~3.6x slower than
+    the production grid body, understating the ceiling.  ``steps`` puts
+    ~4e9 elements behind one dispatch (the tunneled frontend adds ~30 ms
+    latency).  Returns elements/second (best of ``reps``).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pymbar_tpu.ops import pallas_kernels as pk
+
+    kernel = functools.partial(pk._wsum_kernel, fast=fast, weighted=False)
+    block_u = pl.BlockSpec((K_pad, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    block_g = pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(uh, ul, gh, gl):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=(steps,),
+                in_specs=[block_u, block_u, block_g, block_g],
+                out_specs=[block_g, block_g],
+                out_shape=[
+                    jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                ],
+            )(uh, ul, gh, gl)
+
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    uh = jnp.asarray(rng.uniform(0.0, 50.0, (K_pad, tile)), jnp.float32)
+    ul = jnp.asarray(rng.uniform(-1e-7, 1e-7, (K_pad, tile)), jnp.float32)
+    gh = jnp.asarray(rng.uniform(-2.0, 2.0, (K_pad, 1)), jnp.float32)
+    gl = jnp.zeros((K_pad, 1), jnp.float32)
+    _fence(run(uh, ul, gh, gl))  # warm-up / compile, hard-synced
+    best = _np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(uh, ul, gh, gl)
+        _fence(out)
+        best = min(best, time.time() - t0)
+    return K_pad * tile * steps / best
 
 
 def tpu_solve():
@@ -258,29 +344,36 @@ def tpu_solve():
     # logsumexp-weights pass over both planes; planes still resident).
     # Best of 5 singles (the sustained rate, free of scheduler jitter).
     gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k64))
-    out = wsum_dd(u_hi, u_lo, gh, gl)
-    jax.block_until_ready(out)
+    _fence(wsum_dd(u_hi, u_lo, gh, gl))  # warm-up / compile, hard-synced
+    # 3 back-to-back passes per timed region, one fence: dispatches execute
+    # in order, so fencing the last output drains all three — the tunnel's
+    # ~30-45 ms readback round trip amortizes to a third of a pass.
     dd_pass = np.inf
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        out = wsum_dd(u_hi, u_lo, gh, gl)
-        jax.block_until_ready(out)
-        dd_pass = min(dd_pass, time.time() - t0)
+        for _ in range(3):
+            out = wsum_dd(u_hi, u_lo, gh, gl)
+        _fence(out)
+        dd_pass = min(dd_pass, (time.time() - t0) / 3)
 
-    # Roofline: derived semantic ops/element of the wsum math vs the
-    # sustained ceiling of a synthetic VMEM-resident x*x+c chain (1 FMA =
-    # 2 counted ops; measures ~1.9 counted-TOP/s on v5e = the documented
-    # 940 MHz x 1024-lane x 2 VPU peak).  The kernel's semantic-op rate
-    # can EXCEED that ceiling because Mosaic pairs independent mul+add
-    # sequences into FMAs and folds constants; the conservative floor
-    # divides by 2x peak (as if every semantic op were pairable) — the
-    # kernel is flop-bound at >= that fraction of its true attainable
-    # ceiling (docs/numerics.md derivation).
+    # Roofline, measured directly: the SAME tile math applied to a
+    # VMEM-resident block with no HBM streaming (measure_wsum_ceiling) is
+    # the kernel's compute speed-of-light in elements/s; the streaming
+    # kernel's element rate against it is the roofline fraction — no op
+    # counting involved.  (The older semantic-ops-vs-VPU-peak ratio is
+    # kept as corroboration, but it can exceed 100% because the
+    # jaxpr-derived op count includes arithmetic Mosaic pairs into FMAs
+    # or folds away — docs/numerics.md.)  HBM traffic at the measured
+    # rate (8 B/element over ~100 GB/s vs ~800 GB/s chip bandwidth)
+    # confirms the kernel is compute-bound, not bandwidth-bound.
     wsum_flops = derive_wsum_flops()
     vpu_peak_ops = measure_vpu_peak()
+    wsum_ceiling = measure_wsum_ceiling()  # elements/s, VMEM-resident
+    wsum_elem_rate = K * N / dd_pass
+    roofline_pct = 100.0 * wsum_elem_rate / wsum_ceiling
     wsum_ops_rate = K * N * wsum_flops / dd_pass
-    roofline_pct = 100.0 * wsum_ops_rate / vpu_peak_ops
-    roofline_floor_pct = roofline_pct / 2.0
+    semantic_ops_pct = 100.0 * wsum_ops_rate / vpu_peak_ops
+    semantic_floor_pct = semantic_ops_pct / 2.0
 
     # Bootstrap replicate throughput at the 8 GB config: counts-weighted
     # chord-Newton polishes on the resident planes (warm-started at f,
@@ -330,11 +423,12 @@ def tpu_solve():
     dd_vs_f64 = float(np.max(np.abs(f - f64_ref)))
 
     jitted = jax.jit(log_denominator_n)
-    jax.block_until_ready(jitted(u64, N_k64, jnp.asarray(f)))
+    fj = jnp.asarray(f)
+    _fence(jitted(u64, N_k64, fj))  # warm-up / compile, hard-synced
     t0 = time.time()
     for _ in range(3):
-        out = jitted(u64, N_k64, jnp.asarray(f))
-    jax.block_until_ready(out)
+        out = jitted(u64, N_k64, fj)
+    _fence(out)  # in-order execution: one fence drains all three
     f64_pass = (time.time() - t0) / 3
 
     # The full answer, not just the solve (VERDICT r2 item 7): svd-ew
@@ -406,8 +500,11 @@ def tpu_solve():
         logsumexp_f64_gb_s=K * N * 8 / f64_pass / 1e9,
         wsum_flops_per_elem=round(wsum_flops, 1),
         vpu_peak_tops=round(vpu_peak_ops / 1e12, 3),
+        wsum_ceiling_gelem_s=round(wsum_ceiling / 1e9, 2),
+        wsum_streamed_gelem_s=round(wsum_elem_rate / 1e9, 2),
         vpu_roofline_pct=round(roofline_pct, 1),
-        vpu_roofline_floor_pct=round(roofline_floor_pct, 1),
+        vpu_semantic_ops_pct=round(semantic_ops_pct, 1),
+        vpu_semantic_floor_pct=round(semantic_floor_pct, 1),
         bootstrap_reps_per_s=round(boot_reps_per_s, 3),
         bootstrap_n_fail=int(n_fail),
         bootstrap_sigma_finite=boot_sigma_finite,
@@ -509,12 +606,11 @@ def k4096_slice(jax, jnp):
         solve_s = min(solve_s, time.time() - t0)
 
     gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k))
-    out = wsum_dd(uh, ul, gh, gl)
-    jax.block_until_ready(out)
+    _fence(wsum_dd(uh, ul, gh, gl))  # warm-up / compile, hard-synced
     t0 = time.time()
     for _ in range(3):
         out = wsum_dd(uh, ul, gh, gl)
-    jax.block_until_ready(out)
+    _fence(out)  # in-order execution: one fence drains all three
     dd_pass = (time.time() - t0) / 3
     del uh, ul, out
 
@@ -628,8 +724,11 @@ def main():
                 logsumexp_f64_gb_s=round(result["logsumexp_f64_gb_s"], 1),
                 wsum_flops_per_elem=result["wsum_flops_per_elem"],
                 vpu_peak_tops=result["vpu_peak_tops"],
+                wsum_ceiling_gelem_s=result["wsum_ceiling_gelem_s"],
+                wsum_streamed_gelem_s=result["wsum_streamed_gelem_s"],
                 vpu_roofline_pct=result["vpu_roofline_pct"],
-                vpu_roofline_floor_pct=result["vpu_roofline_floor_pct"],
+                vpu_semantic_ops_pct=result["vpu_semantic_ops_pct"],
+                vpu_semantic_floor_pct=result["vpu_semantic_floor_pct"],
                 bootstrap_reps_per_s=result["bootstrap_reps_per_s"],
                 bootstrap_n_fail=result["bootstrap_n_fail"],
                 cov_s=result["cov_s"],

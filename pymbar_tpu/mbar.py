@@ -61,6 +61,59 @@ _AUG_CHUNK_BYTES = 256 * 2**20
 _STRUCT_AUG_GRAM = True
 
 
+@_jax.jit
+def _dev_mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=a.dtype)
+
+
+def _host_mm(a, b):
+    """a @ b for the Theta covariance algebra.
+
+    On TPU sessions the K-to-3K-sized f64 products route through the
+    device (XLA's correctly-rounded emulated-f64 dot, measured 175-400
+    GFLOP/s) and return as numpy: the bench container exposes ONE host
+    vCPU whose first-touch GEMM rate collapses to ~1.5 GFLOP/s (measured;
+    it was 39 of the 41 s of an all-states compute_expectations call).
+    On CPU backends this is a plain numpy matmul, so the differential
+    suite's bit-level semantics are untouched.
+    """
+    from pymbar_tpu.config import on_tpu
+
+    if on_tpu() and a.shape[0] * b.shape[1] >= 512 * 512:
+        return np.asarray(_dev_mm(jnp.asarray(a), jnp.asarray(b)))
+    return a @ b
+
+
+def _is_dev(x):
+    """True for a device-resident jax array (the O(m^2) Theta pipeline keeps
+    these on device: the tunneled TPU frontend transfers at only ~3-25 MB/s,
+    so every avoided m x m download is seconds of wall time)."""
+    return isinstance(x, _jax.Array) and not isinstance(x, np.ndarray)
+
+
+@_functools.partial(_jax.jit, static_argnames=("lmode",))
+def _assemble_struct_gram_dev(M0, M1, M2, D_L, E, lidx, lmode):
+    """Device twin of the structured-Gram host assembly in
+    :meth:`MBAR._expectations_streamed` (same block algebra, jnp ops): the
+    (K+NL+S)^2 augmented Gram from the three K x K Grams plus diagonal
+    scalings, without the ~m^2 device->host download and the host
+    elementwise passes (both pathological on a weak/tunneled host)."""
+    if lmode == "identity":
+        M1s, M2ss = M1, M2
+    else:
+        M1s = jnp.take(M1, lidx, axis=1)
+        M2ss = jnp.take(jnp.take(M2, lidx, axis=0), lidx, axis=1)
+    G0L = M0 * D_L[None, :]
+    GLL = D_L[:, None] * M0 * D_L[None, :]
+    G0S = M1s * E[None, :]
+    GLS = D_L[:, None] * G0S
+    GSS = E[:, None] * M2ss * E[None, :]
+    top = jnp.concatenate([M0, G0L, G0S], axis=1)
+    mid = jnp.concatenate([G0L.T, GLL, GLS], axis=1)
+    bot = jnp.concatenate([G0S.T, GLS.T, GSS], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
 def _row_select(x, idx, mode, n_out):
     """Select rows x[idx] with a statically-specialized strategy.
 
@@ -1689,6 +1742,11 @@ class MBAR:
             and lidx_mode == "identity"
             and _idx_mode(i_of_s, logA.shape[0]) == "identity"
         )
+        # On TPU the augmented Gram STAYS a device array end to end (the
+        # tunneled frontend transfers at ~3-25 MB/s, so each avoided m x m
+        # download is seconds; the Theta algebra downstream is device-aware).
+        # On CPU the numpy flow is kept byte-identical for the suite.
+        dev_gram = on_tpu()
         if row0_b or diag_b:
             la_row = logA[0] if row0_b else None
             if row0_b and device_scan:
@@ -1697,15 +1755,19 @@ class MBAR:
                     fs_dev, f_dev, Nk_dev, sentinel, K, compute_dtype,
                     scan_div * len(starts), sws_mode=sws_mode,
                 )
-                M0, M1, M2 = (np.asarray(o) for o in out[:3])
+                if dev_gram:
+                    M0, M1, M2 = out[0], out[1], out[2]
+                else:
+                    M0, M1, M2 = (np.asarray(o) for o in out[:3])
                 c0s, cAs = np.asarray(out[3]), np.asarray(out[4])
                 n_bad, first_bad, first_val = (
                     int(out[5]), int(out[6]), float(out[7]),
                 )
             else:
-                M0 = np.zeros((K, K))
-                M1 = np.zeros((K, K))
-                M2 = np.zeros((K, K))
+                zeros = jnp.zeros if dev_gram else np.zeros
+                M0 = zeros((K, K))
+                M1 = zeros((K, K))
+                M2 = zeros((K, K))
                 c0s = np.zeros(K)
                 cAs = np.zeros(K)
                 n_bad, first_bad, first_val = 0, N + 1, 0.0
@@ -1728,34 +1790,47 @@ class MBAR:
                         sws_dev, Ns_dev, fs_dev, f_dev, Nk_dev, sentinel,
                         compute_dtype, sws_mode=sws_mode, a_mode=a_mode,
                     )
-                    M0 += np.asarray(out[0])
-                    M1 += np.asarray(out[1])
-                    M2 += np.asarray(out[2])
+                    if dev_gram:
+                        M0 = M0 + out[0]
+                        M1 = M1 + out[1]
+                        M2 = M2 + out[2]
+                    else:
+                        M0 += np.asarray(out[0])
+                        M1 += np.asarray(out[1])
+                        M2 += np.asarray(out[2])
                     c0s += np.asarray(out[3])
                     cAs += np.asarray(out[4])
                     n_bad += int(out[5])
                     if int(out[6]) < first_bad:
                         first_bad = int(out[6])
                         first_val = float(out[7])
-            # host assembly (exact f64 diagonal scalings)
+            # exact f64 diagonal scalings (K-sized, host)
             D_L = np.exp(log_C - self.f_k)  # W_L = diag(D_L) W_0
             E = np.exp(
                 np.asarray(f_sa) + log_C[l_of_s] - self.f_k[l_of_s]
             )  # W_S = diag(E) (A o W_0)[lidx]
-            gram = np.empty((msize, msize))
-            gram[:K, :K] = M0
-            gram[:K, K : 2 * K] = M0 * D_L[None, :]
-            gram[K : 2 * K, :K] = gram[:K, K : 2 * K].T
-            gram[K : 2 * K, K : 2 * K] = D_L[:, None] * M0 * D_L[None, :]
-            G0S = M1[:, l_of_s] * E[None, :]
-            gram[:K, 2 * K :] = G0S
-            gram[2 * K :, :K] = G0S.T
-            GLS = D_L[:, None] * G0S
-            gram[K : 2 * K, 2 * K :] = GLS
-            gram[2 * K :, K : 2 * K] = GLS.T
-            gram[2 * K :, 2 * K :] = (
-                E[:, None] * M2[np.ix_(l_of_s, l_of_s)] * E[None, :]
-            )
+            if dev_gram:
+                lmode = _idx_mode(l_of_s, K)
+                gram = _assemble_struct_gram_dev(
+                    M0, M1, M2, jnp.asarray(D_L), jnp.asarray(E),
+                    jnp.asarray(l_of_s), "identity" if lmode == "identity"
+                    else "gather",
+                )
+            else:
+                gram = np.empty((msize, msize))
+                gram[:K, :K] = M0
+                gram[:K, K : 2 * K] = M0 * D_L[None, :]
+                gram[K : 2 * K, :K] = gram[:K, K : 2 * K].T
+                gram[K : 2 * K, K : 2 * K] = D_L[:, None] * M0 * D_L[None, :]
+                G0S = M1[:, l_of_s] * E[None, :]
+                gram[:K, 2 * K :] = G0S
+                gram[2 * K :, :K] = G0S.T
+                GLS = D_L[:, None] * G0S
+                gram[K : 2 * K, 2 * K :] = GLS
+                gram[2 * K :, K : 2 * K] = GLS.T
+                gram[2 * K :, 2 * K :] = (
+                    E[:, None] * M2[np.ix_(l_of_s, l_of_s)] * E[None, :]
+                )
             colsum = np.concatenate([c0s, D_L * c0s, E * cAs[l_of_s]])
         elif device_scan:
             g_c, cs_c, cnt, gidx, val = _aug_pass_b_scan(
@@ -1765,13 +1840,15 @@ class MBAR:
                 alias=u_ln_alias, sws_mode=sws_mode, lidx_mode=lidx_mode,
                 iofs_mode=iofs_mode,
             )
-            gram = np.asarray(g_c)
+            gram = g_c if dev_gram else np.asarray(g_c)
             colsum = np.asarray(cs_c)
             n_bad = int(cnt)
             first_bad = int(gidx)
             first_val = float(val)
         else:
-            gram = np.zeros((msize, msize))
+            gram = jnp.zeros((msize, msize)) if dev_gram else np.zeros(
+                (msize, msize)
+            )
             colsum = np.zeros(msize)
             n_bad = 0
             first_bad = N + 1
@@ -1788,7 +1865,10 @@ class MBAR:
                     jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
                     jnp.asarray(c0, dtype=jnp.int64),
                 )
-                gram += np.asarray(g_c)
+                if dev_gram:
+                    gram = gram + g_c
+                else:
+                    gram += np.asarray(g_c)
                 colsum += np.asarray(cs_c)
                 n_bad += int(cnt)
                 if int(gidx) < first_bad:
@@ -1806,9 +1886,10 @@ class MBAR:
         if msize >= 1024 and msize >= 2 * nnz:
             # augmented space much larger than the sampled-state count:
             # the rank-nnz route computes the same Theta from a K-sized
-            # eigh instead of an msize-sized eigh + pinv
+            # eigh instead of an msize-sized eigh + pinv (and on TPU the
+            # whole thing stays a device array — see _theta_svd_ew_lowrank)
             return f_aug, self._theta_svd_ew_lowrank(gram, N_aug), boot
-        return f_aug, self._theta_svd_ew_from_gram(gram, N_aug), boot
+        return f_aug, self._theta_svd_ew_from_gram(np.asarray(gram), N_aug), boot
 
     def compute_covariance_of_sums(self, d_ij, K, a):
         """Uncertainty of weighted sums of free-energy differences.
@@ -1990,14 +2071,27 @@ class MBAR:
             diag[0:K] = diag[K : 2 * K] = (
                 inner_results["observables"] - inner_results["Amin"]
             )
-            # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
-            Theta = diag[:, None] * inner_results["Theta"] * diag[None, :]
-            covA_ij = np.array(
-                Theta[0:K, 0:K]
-                + Theta[K : 2 * K, K : 2 * K]
-                - Theta[0:K, K : 2 * K]
-                - Theta[K : 2 * K, 0:K]
-            )
+            Th = inner_results["Theta"]
+            if _is_dev(Th):
+                # device sandwich: only K-sized (averages) or K^2-sized
+                # (differences/Theta) results ever cross the slow tunnel
+                dg = jnp.asarray(diag)
+                Theta = dg[:, None] * Th * dg[None, :]
+                covA_ij = (
+                    Theta[0:K, 0:K]
+                    + Theta[K : 2 * K, K : 2 * K]
+                    - Theta[0:K, K : 2 * K]
+                    - Theta[K : 2 * K, 0:K]
+                )
+            else:
+                # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
+                Theta = diag[:, None] * Th * diag[None, :]
+                covA_ij = np.array(
+                    Theta[0:K, 0:K]
+                    + Theta[K : 2 * K, K : 2 * K]
+                    - Theta[0:K, K : 2 * K]
+                    - Theta[K : 2 * K, 0:K]
+                )
 
         if output == "averages":
             result_vals["mu"] = inner_results["observables"]
@@ -2005,6 +2099,10 @@ class MBAR:
                 if uncertainty_method == "bootstrap":
                     result_vals["sigma"] = np.std(
                         inner_results["bootstrapped_observables"], axis=0
+                    )
+                elif _is_dev(covA_ij):
+                    result_vals["sigma"] = np.asarray(
+                        jnp.sqrt(jnp.diagonal(covA_ij[0:K, 0:K]))
                     )
                 else:
                     result_vals["sigma"] = np.sqrt(covA_ij[0:K, 0:K].diagonal())
@@ -2019,11 +2117,11 @@ class MBAR:
                     result_vals["sigma"] = np.std(bootstrap_differences, axis=0)
                 else:
                     result_vals["sigma"] = self._ErrorOfDifferences(
-                        covA_ij, warning_cutoff=warning_cutoff
+                        np.asarray(covA_ij), warning_cutoff=warning_cutoff
                     )
 
         if return_theta:
-            result_vals["Theta"] = Theta
+            result_vals["Theta"] = np.asarray(Theta)
 
         return result_vals
 
@@ -2219,7 +2317,8 @@ class MBAR:
                 result_vals["dDelta_f"] = np.std(inner_results["bootstrapped_f"], axis=0)
             else:
                 result_vals["dDelta_f"] = self._ErrorOfDifferences(
-                    inner_results["Theta"], warning_cutoff=warning_cutoff
+                    np.asarray(inner_results["Theta"]),
+                    warning_cutoff=warning_cutoff,
                 )
 
         return result_vals
@@ -2290,16 +2389,28 @@ class MBAR:
 
         # Assemble the 3K x 3K covariance: [observables, f-sampled, f-copy]
         # blocks, sandwiched by the observable shifts (reference :1600-1610).
-        Theta = np.zeros([3 * K, 3 * K], dtype=np.float64)
-        Theta[0 : 2 * K, 0 : 2 * K] = inner_results["Theta"]
-        Theta[2 * K : 3 * K, :] = Theta[K : 2 * K, :]
-        Theta[:, 2 * K : 3 * K] = Theta[:, K : 2 * K]
         diag = np.ones(3 * K, dtype=np.float64)
         diag[0:K] = diag[K : 2 * K] = (
             inner_results["observables"] - inner_results["Amin"]
         )
-        # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
-        Theta = diag[:, None] * Theta * diag[None, :]
+        Th2 = inner_results["Theta"]
+        if _is_dev(Th2):
+            # device assembly + sandwich; only the K^2 covariance blocks
+            # the dDelta outputs need ever cross the slow tunnel
+            top = jnp.concatenate([Th2, Th2[:, K : 2 * K]], axis=1)
+            bot = jnp.concatenate(
+                [Th2[K : 2 * K, :], Th2[K : 2 * K, K : 2 * K]], axis=1
+            )
+            Theta = jnp.concatenate([top, bot], axis=0)
+            dg = jnp.asarray(diag)
+            Theta = dg[:, None] * Theta * dg[None, :]
+        else:
+            Theta = np.zeros([3 * K, 3 * K], dtype=np.float64)
+            Theta[0 : 2 * K, 0 : 2 * K] = Th2
+            Theta[2 * K : 3 * K, :] = Theta[K : 2 * K, :]
+            Theta[:, 2 * K : 3 * K] = Theta[:, K : 2 * K]
+            # diagonal sandwich via broadcasting (O(m^2), not O(m^3))
+            Theta = diag[:, None] * Theta * diag[None, :]
 
         result_vals = dict()
         f_k = inner_results["f"]
@@ -2324,7 +2435,7 @@ class MBAR:
         else:
             covf = Theta[2 * K : 3 * K, 2 * K : 3 * K]
             result_vals["dDelta_f"] = self._ErrorOfDifferences(
-                covf, warning_cutoff=warning_cutoff
+                np.asarray(covf), warning_cutoff=warning_cutoff
             )
 
             covu = (
@@ -2334,7 +2445,7 @@ class MBAR:
                 - Theta[K : 2 * K, 0:K]
             )
             result_vals["dDelta_u"] = self._ErrorOfDifferences(
-                covu, warning_cutoff=warning_cutoff
+                np.asarray(covu), warning_cutoff=warning_cutoff
             )
 
             covs = (
@@ -2346,7 +2457,7 @@ class MBAR:
                 - Theta[2 * K : 3 * K, K : 2 * K]
             )
             result_vals["dDelta_s"] = self._ErrorOfDifferences(
-                covs, warning_cutoff=warning_cutoff
+                np.asarray(covs), warning_cutoff=warning_cutoff
             )
 
         return result_vals
@@ -2447,9 +2558,9 @@ class MBAR:
         # inner = I - Sigma V^T diag(N) V Sigma, built with diagonal scaling
         # instead of dense diag matmuls.
         VS = V * Sigma_diag[None, :]  # V @ Sigma
-        inner = I - VS.T @ (Np[:, None] * VS)
+        inner = I - _host_mm(VS.T, Np[:, None] * VS)
         inner_pinv = np.linalg.pinv(inner, rcond=1.0e-10)
-        return VS @ inner_pinv @ VS.T
+        return _host_mm(_host_mm(VS, inner_pinv), VS.T)
 
     @staticmethod
     def _theta_svd_ew_lowrank(gram, N_k, rows=None):
@@ -2480,17 +2591,54 @@ class MBAR:
         Np = np.asarray(N_k, dtype=np.float64)
         nz = np.nonzero(Np > 0)[0]
         sq = np.sqrt(Np[nz])
-        H = gram[np.ix_(nz, nz)] * sq[:, None] * sq[None, :]
+        if _is_dev(gram):
+            # Device path: the only O(nnz^2) transfer is H for the host
+            # eigh (the axon device eigh does not compile); F and Theta
+            # build on device and Theta STAYS a device array — consumers
+            # (the covariance sandwiches) are device-aware.
+            contig = bool(np.array_equal(nz, np.arange(nz.size)))
+            sq_dev = jnp.asarray(sq)
+            if contig:
+                G_nz = gram[:, : nz.size]
+                H = np.asarray(G_nz[: nz.size] * sq_dev[:, None] * sq_dev[None, :])
+            else:
+                nz_dev = jnp.asarray(nz)
+                G_nz = jnp.take(gram, nz_dev, axis=1)
+                H = np.asarray(
+                    jnp.take(G_nz, nz_dev, axis=0)
+                    * sq_dev[:, None] * sq_dev[None, :]
+                )
+        else:
+            H = gram[np.ix_(nz, nz)] * sq[:, None] * sq[None, :]
         lam, P = np.linalg.eigh(H)
         one_minus = 1.0 - lam
         smax = max(float(np.max(np.abs(one_minus), initial=0.0)), 1.0)
         trunc = np.abs(one_minus) <= 1.0e-10 * smax
         with np.errstate(divide="ignore"):
             phi = np.where(trunc, -1.0 / lam, 1.0 / np.where(trunc, 1.0, one_minus))
+        if _is_dev(gram):
+            G_rows = gram if rows is None else jnp.take(
+                gram, jnp.asarray(rows), axis=0
+            )
+            Gr_nz = (
+                G_rows[:, : nz.size] if contig
+                else jnp.take(G_rows, jnp.asarray(nz), axis=1)
+            )
+            F = jnp.dot(
+                Gr_nz * jnp.asarray(sq)[None, :], jnp.asarray(P),
+                preferred_element_type=jnp.float64,
+            )
+            base = gram if rows is None else jnp.take(
+                G_rows, jnp.asarray(rows), axis=1
+            )
+            return base + jnp.dot(
+                F * jnp.asarray(phi)[None, :], F.T,
+                preferred_element_type=jnp.float64,
+            )
         G_rows = gram if rows is None else gram[rows]
-        F = (G_rows[:, nz] * sq[None, :]) @ P
+        F = _host_mm(G_rows[:, nz] * sq[None, :], P)
         base = gram if rows is None else gram[np.ix_(rows, rows)]
-        return base + (F * phi[None, :]) @ F.T
+        return base + _host_mm(F * phi[None, :], F.T)
 
     def _compute_theta_streamed(self, method=None):
         """Theta over the base K states with W consumed in Gram form only.

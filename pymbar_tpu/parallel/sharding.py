@@ -170,13 +170,18 @@ def sharded_core_stats(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
     return fn(u_kn_sharded, _replicated(N_k, mesh), _replicated(f_k, mesh))
 
 
-def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
+def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n", precision=None):
     """(W^T W, colsum W) with per-device K x K partial Grams psum-reduced.
 
     The N x K weight matrix never exists globally: each device forms its
     local K x (N/n_dev) slab of W and contracts it on the MXU; the K x K
-    partials are all-reduced.
+    partials are all-reduced.  ``precision`` sets the TPU MXU pass count
+    (default HIGHEST, ~2e-6 relative, for read-out quantities; the
+    adaptive solve loop passes DEFAULT — its Gram only steers a Newton
+    direction and single-pass bf16 was measured iteration-count-neutral).
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
 
     def local(u_local, N_k, f_k):
         a = f_k[:, None] - u_local
@@ -188,7 +193,7 @@ def sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name="n"):
         w = jnp.exp(f_k[:, None] - u_local - logden[None, :])
         gram_local = jnp.dot(
             w, w.T, preferred_element_type=w.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         colsum_local = jnp.sum(w, axis=1)
         return (
@@ -216,7 +221,11 @@ def sharded_adaptive_step(
     (the axon TPU compile helper aborts on lstsq's SVD kernel).
     """
     _, g, f_sci = sharded_core_stats(u_kn_sharded, N_k, f_k, mesh, axis_name)
-    gram, colsum = sharded_gram(u_kn_sharded, N_k, f_k, mesh, axis_name)
+    # Newton-direction-only Gram: DEFAULT MXU precision (see sharded_gram).
+    gram, colsum = sharded_gram(
+        u_kn_sharded, N_k, f_k, mesh, axis_name,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     N_k = jnp.asarray(N_k, dtype=g.dtype)
     H = -(gram * N_k[None, :] * N_k[:, None] - jnp.diag(colsum * N_k))
     if nr_method == "chol":

@@ -119,7 +119,13 @@ def _adaptive_candidates(u_kn, N_k, f_k, gamma, nr_method="lstsq"):
     large K on TPU where the f64 SVD is emulated.
     """
     _, g, f_sci = core_stats(u_kn, N_k, f_k)
-    H = mbar_hessian(u_kn, N_k, f_k)
+    # DEFAULT-precision Gram: the Hessian only steers the Newton direction
+    # here — step acceptance and convergence are judged on the exact
+    # gradient — and single-pass bf16 MXU arithmetic (~9e-4 relative Gram
+    # error) was measured iteration-count-neutral while being ~6x cheaper
+    # per matmul than HIGHEST (the round-3 covariance-accuracy fix must
+    # not tax the solve loop).
+    H = mbar_hessian(u_kn, N_k, f_k, precision=jax.lax.Precision.DEFAULT)
     if nr_method == "chol":
         # mbar_hessian returns the PSD Hessian of the convex MBAR objective
         # (reference sign convention), so the f_0-pinned block is positive

@@ -505,7 +505,11 @@ def solve_mbar_dd(
         done32 = bool(done32)
         f64 = f32_out.astype(jnp.float64)
         f64 = f64 - f64[0]
-    f64 = f64.block_until_ready()
+    # Hard phase fence: block_until_ready is unreliable under the tunneled
+    # axon platform (observed returning with work pending — docs/numerics.md),
+    # and a wrong fence here misattributes phase-1 time to phase 2.  A scalar
+    # readback cannot complete before the computation has.
+    float(f64[0])
     t_phase1 = time.time() - t_phase1
     t_phase2 = time.time()
 
