@@ -674,6 +674,49 @@ def test_streamed_expectations_f32_compute_floor(monkeypatch):
     assert rel < 2e-3, rel
 
 
+def test_device_theta_pipeline_matches_host(monkeypatch):
+    """Under the TPU compute policy (on_tpu patched True) the Theta
+    pipeline stays a device-typed array end to end — struct-Gram assembly
+    (_assemble_struct_gram_dev), the rank-nnz lowrank covariance's device
+    branch, and the device covariance sandwiches.  K is chosen so
+    msize = 3K >= 1024, i.e. the lowrank DEVICE branch actually runs
+    (small-K tests fall through to the dense host path).  Sigmas must
+    agree with the all-numpy f64 flow within the f32-Gram compute floor."""
+    import pymbar_tpu.config as cfg
+    import pymbar_tpu.mbar as mbar_mod
+
+    from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+
+    K = 350
+    test = HarmonicOscillatorsTestCase(
+        O_k=np.linspace(0.0, 2.0, K), K_k=np.linspace(1.0, 3.0, K)
+    )
+    x_n, u_kn, N_k_out, s_n = test.sample(N_k=[40] * K, mode="u_kn", seed=29)
+    N_k = np.full(K, 40)
+    m = MBAR(u_kn, N_k)
+
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+    monkeypatch.setattr(cfg, "on_tpu", lambda: True)
+    ex_dev = m.compute_expectations(x_n)
+    ee_dev = m.compute_entropy_and_enthalpy(uncertainty_method="svd-ew")
+    monkeypatch.setattr(cfg, "on_tpu", lambda: False)
+    ex_host = m.compute_expectations(x_n)
+    ee_host = m.compute_entropy_and_enthalpy(uncertainty_method="svd-ew")
+
+    np.testing.assert_allclose(ex_dev["mu"], ex_host["mu"], rtol=1e-6, atol=1e-9)
+    rel = np.max(np.abs(ex_dev["sigma"] - ex_host["sigma"]) / ex_host["sigma"])
+    assert rel < 2e-3, rel
+    for field in ("Delta_f", "Delta_u", "Delta_s"):
+        np.testing.assert_allclose(
+            ee_dev[field], ee_host[field], rtol=1e-6, atol=1e-8,
+            err_msg=f"entropy.{field} device != host",
+        )
+    for field in ("dDelta_f", "dDelta_u", "dDelta_s"):
+        denom = np.abs(ee_host[field]) + 1e-4 * np.max(np.abs(ee_host[field]))
+        rel = np.max(np.abs(ee_dev[field] - ee_host[field]) / denom)
+        assert rel < 5e-3, (field, rel)
+
+
 def test_device_scan_alias_compute_expectations(monkeypatch):
     """compute_expectations(x_n) passes u_ln = self.u_kn (the alias): with a
     device-resident matrix the scan path must reuse the SAME buffer (no
