@@ -1883,11 +1883,14 @@ class MBAR:
         N_aug = np.zeros(msize)
         N_aug[:K] = self.N_k
         nnz = int(np.count_nonzero(self.N_k))
-        if msize >= 1024 and msize >= 2 * nnz:
-            # augmented space much larger than the sampled-state count:
-            # the rank-nnz route computes the same Theta from a K-sized
-            # eigh instead of an msize-sized eigh + pinv (and on TPU the
-            # whole thing stays a device array — see _theta_svd_ew_lowrank)
+        if (msize >= 1024 and msize >= 2 * nnz) or _is_dev(gram):
+            # Rank-nnz route: the same Theta from an nnz-sized eigh instead
+            # of an msize-sized eigh + pinv (exactness gated in
+            # tests/test_mbar.py).  Taken for large augmented spaces, and
+            # ALWAYS for a device gram — the lowrank device branch keeps
+            # every O(msize^2) array on device, moving only the nnz^2 H
+            # across the ~3-25 MB/s tunnel (the dense path would pull the
+            # full gram AND round-trip its matmuls).
             return f_aug, self._theta_svd_ew_lowrank(gram, N_aug), boot
         return f_aug, self._theta_svd_ew_from_gram(np.asarray(gram), N_aug), boot
 
@@ -2662,14 +2665,21 @@ class MBAR:
         if method not in ("svd-ew", "approximate"):
             raise ParameterError(f"Method {method} unrecognized.")
 
+        from pymbar_tpu.config import on_tpu
+
         gram, colsum, rowstats = mbar_gram_normalization(
             self.u_kn, self.N_k, self.f_k
         )
         self._check_normalized_aggregates(np.asarray(colsum), rowstats)
-        gram = np.asarray(gram, dtype=np.float64)
         if method == "approximate":
-            return gram
-        return self._theta_svd_ew_from_gram(gram, self.N_k)
+            return np.asarray(gram, dtype=np.float64)
+        if on_tpu():
+            # device gram -> device lowrank Theta (exact vs the dense path;
+            # only the nnz^2 H and the final K^2 Theta cross the tunnel)
+            return np.asarray(self._theta_svd_ew_lowrank(gram, self.N_k))
+        return self._theta_svd_ew_from_gram(
+            np.asarray(gram, dtype=np.float64), self.N_k
+        )
 
     @staticmethod
     def _check_normalized_aggregates(column_sums, rowstats, tolerance=1.0e-4):
