@@ -476,6 +476,15 @@ def tpu_solve():
     expectations_all_states_s = time.time() - t0
     assert np.all(np.isfinite(ex["mu"])) and np.all(np.isfinite(ex["sigma"]))
 
+    # compute_entropy_and_enthalpy at the 8 GB config: the observable IS
+    # the resident matrix (aliased-observable path — the shift and every
+    # observable chunk build on device; no host copy of u_kn exists).
+    ee = m.compute_entropy_and_enthalpy()  # warm-up / compile
+    t0 = time.time()
+    ee = m.compute_entropy_and_enthalpy()
+    entropy_s = time.time() - t0
+    assert all(np.all(np.isfinite(ee[k])) for k in ee)
+
     del u64, out, m
 
     sigma_rel = sigma_parity_check(jax, jnp)
@@ -511,6 +520,7 @@ def tpu_solve():
         cov_s=round(cov_s, 3),
         expectations_s=round(expectations_s, 3),
         expectations_all_states_s=round(expectations_all_states_s, 3),
+        entropy_s=round(entropy_s, 3),
         **k4096,
     )
 
@@ -734,6 +744,7 @@ def main():
                 cov_s=result["cov_s"],
                 expectations_s=result["expectations_s"],
                 expectations_all_states_s=result["expectations_all_states_s"],
+                entropy_s=result["entropy_s"],
                 sigma_rel_err_streamed_vs_f64=result[
                     "sigma_rel_err_streamed_vs_f64"
                 ],

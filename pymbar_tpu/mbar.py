@@ -1319,12 +1319,34 @@ class MBAR:
             if u_ln.ndim == 1:
                 u_ln = u_ln.reshape(1, -1)
 
-        # Work on a float64 copy of the observables: the reference shifts
-        # A_n in place and restores it afterwards (mbar.py:864-878, :973-975);
-        # the net caller-visible effect is none, which a copy also delivers.
-        A_n = np.array(A_n, dtype=np.float64)
-        if A_n.ndim == 1:
-            A_n = A_n.reshape(1, -1)
+        # Aliased-observable fast path: compute_entropy_and_enthalpy passes
+        # A_n = u_kn itself (one observable row per state).  With a
+        # device-resident matrix the host copy below would pull GBs across
+        # the ~3-25 MB/s tunnel; instead keep the alias — the positivity
+        # shift becomes a device per-row min, and the streamed passes
+        # rebuild each (shifted) observable chunk on device from the SAME
+        # resident buffer.  Engages only when the streamed branch will run
+        # with the diag observable layout (row s = state s).
+        uls = np.unique(state_list) if S > 0 else np.zeros(0, int)
+        a_alias = (
+            A_n is self.u_kn
+            and u_ln_alias
+            and _is_dev(self.u_kn)
+            and self.u_kn.nbytes >= _AUG_STREAM_BYTES
+            and uncertainty_method != "svd"
+            and (uncertainty_method != "bootstrap" or self.n_bootstraps > 0)
+            and S > 0
+            and np.array_equal(uls, np.arange(uls.size))
+            and np.array_equal(state_map[1, :S], np.arange(S))
+        )
+        if not a_alias:
+            # Work on a float64 copy of the observables: the reference
+            # shifts A_n in place and restores it afterwards
+            # (mbar.py:864-878, :973-975); the net caller-visible effect is
+            # none, which a copy also delivers.
+            A_n = np.array(A_n, dtype=np.float64)
+            if A_n.ndim == 1:
+                A_n = A_n.reshape(1, -1)
 
         K = self.K
         N = self.N
@@ -1341,10 +1363,20 @@ class MBAR:
             A_min = np.zeros(0, dtype=np.float64)
             logfactors = np.zeros(0, dtype=np.float64)
 
-        for i in A_list:
-            A_min[i] = np.min(A_n[i, :])
-            logfactors[i] = np.abs(logfactor * A_min[i])
-            A_n[i, :] = A_n[i, :] - (A_min[i] - logfactors[i])
+        if a_alias:
+            # per-row min in ONE device pass; the shift itself is applied
+            # chunkwise on device inside the streamed passes
+            row_min = np.asarray(jnp.min(A_n, axis=1))
+            for i in A_list:
+                A_min[i] = row_min[i]
+                logfactors[i] = np.abs(logfactor * A_min[i])
+            a_shift = A_min - logfactors  # (n_obs,) == (K,)
+        else:
+            a_shift = None
+            for i in A_list:
+                A_min[i] = np.min(A_n[i, :])
+                logfactors[i] = np.abs(logfactor * A_min[i])
+                A_n[i, :] = A_n[i, :] - (A_min[i] - logfactors[i])
 
         msize = K + NL + S
 
@@ -1367,7 +1399,7 @@ class MBAR:
                 A_n, u_ln, state_map, S, L_list,
                 method=uncertainty_method, need_theta=return_theta,
                 bootstrap=uncertainty_method == "bootstrap",
-                u_ln_alias=u_ln_alias,
+                u_ln_alias=u_ln_alias, a_alias=a_alias, a_shift=a_shift,
             )
             A_i = np.exp(-f_aug[K + NL : K + NL + S])
             if S > 0:
@@ -1503,7 +1535,7 @@ class MBAR:
 
     def _expectations_streamed(
         self, A_n, u_ln, state_map, S, L_list, method, need_theta,
-        bootstrap=False, u_ln_alias=False,
+        bootstrap=False, u_ln_alias=False, a_alias=False, a_shift=None,
     ):
         """Augmented-state expectations without the N x (K+NL+S) matrix.
 
@@ -1565,8 +1597,15 @@ class MBAR:
             safe = np.where(np.isfinite(m_new), m_new, 0.0)
             return m_new, s * np.exp(m - safe) + s_c * np.exp(m_c - safe)
 
-        with np.errstate(divide="ignore"):
-            logA = np.log(A_n) if S > 0 else np.zeros((0, N))
+        if a_alias:
+            # A_n IS the resident u_kn (diag layout, row s = state s): no
+            # host log matrix exists; every observable chunk is rebuilt on
+            # device as (u_chunk - a_shift) from the SAME buffer.
+            logA = None
+            shift_dev = jnp.asarray(a_shift)
+        else:
+            with np.errstate(divide="ignore"):
+                logA = np.log(A_n) if S > 0 else np.zeros((0, N))
 
         # When u_kn already lives on device and the extra-state/observable
         # row matrices are small, the whole pass runs as ONE fori_loop
@@ -1574,10 +1613,12 @@ class MBAR:
         # trips per chunk — which dominates wall time on tunneled/remote
         # TPU frontends).  Larger NL / n_obs (e.g. entropy's u_kn-as-
         # observable) keep the host-chunked path: their row matrices are
-        # u_kn-sized and must stream from host RAM.
+        # u_kn-sized (with a_alias they alias the resident matrix and the
+        # chunks are device slices — no uploads either way).
         device_scan = (
             isinstance(self.u_kn, _jax.Array)
             and (NL <= 4 or u_ln_alias)
+            and not a_alias
             and logA.shape[0] <= 4
         )
         if device_scan:
@@ -1627,10 +1668,18 @@ class MBAR:
                     ul_dev_c = (
                         u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
                     )
+                    if a_alias:
+                        # diag layout (i_of_s = arange): the observable
+                        # chunk is the resident chunk, shifted, on device
+                        la_dev_c = jnp.log(u_dev_c - shift_dev[:, None])
+                    else:
+                        la_dev_c = jnp.asarray(
+                            logA[i_of_s, c0:c1].reshape(S, c1 - c0)
+                        )
                     ml_c, sl_c, ms_c, ss_c = _aug_pass_a(
                         u_dev_c,
                         ul_dev_c,
-                        jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                        la_dev_c,
                         sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
                     )
@@ -1687,10 +1736,16 @@ class MBAR:
                     ul_dev_c = (
                         u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
                     )
+                    if a_alias:
+                        la_dev_c = jnp.log(u_dev_c - shift_dev[:, None])
+                    else:
+                        la_dev_c = jnp.asarray(
+                            logA[i_of_s, c0:c1].reshape(S, c1 - c0)
+                        )
                     ml_c, sl_c, ms_c, ss_c = _aug_pass_a_multi(
                         u_dev_c,
                         ul_dev_c,
-                        jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                        la_dev_c,
                         sws_dev, Ns_dev, fs_all, lidx_dev,
                         jnp.asarray(counts_all[:, c0:c1]),
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
@@ -1732,15 +1787,17 @@ class MBAR:
         # (compute_expectations at every state), or pseudo-state s pairing
         # observable row s with extra state s (entropy/enthalpy's
         # u_kn-as-observable layout).
+        n_obs = int(A_n.shape[0]) if S > 0 else 0  # works for device A_n
         row0_b = (
             _STRUCT_AUG_GRAM and u_ln_alias and S > 0 and NL == K
-            and _idx_mode(i_of_s, logA.shape[0]) == "zero"
+            and not a_alias
+            and _idx_mode(i_of_s, n_obs) == "zero"
         )
         diag_b = (
             _STRUCT_AUG_GRAM and u_ln_alias and S == K and NL == K
             and not row0_b
             and lidx_mode == "identity"
-            and _idx_mode(i_of_s, logA.shape[0]) == "identity"
+            and _idx_mode(i_of_s, n_obs) == "identity"
         )
         # On TPU the augmented Gram STAYS a device array end to end (the
         # tunneled frontend transfers at ~3-25 MB/s, so each avoided m x m
@@ -1773,9 +1830,17 @@ class MBAR:
                 n_bad, first_bad, first_val = 0, N + 1, 0.0
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
+                    u_dev_c = jnp.asarray(self.u_kn[:, c0:c1])
                     if row0_b:
                         a_chunk = jnp.asarray(la_row[c0:c1])
                         a_mode = "logrow"
+                    elif a_alias:
+                        # shifted observable slab rebuilt on device from
+                        # the SAME resident chunk (no host slice/upload)
+                        a_chunk = (u_dev_c - shift_dev[:, None]).astype(
+                            compute_dtype
+                        )
+                        a_mode = "diag"
                     else:
                         # the (K, nc) observable slab itself, pre-cast so
                         # the TPU upload is half the f64 log-row traffic
@@ -1784,7 +1849,7 @@ class MBAR:
                         )
                         a_mode = "diag"
                     out = _aug_pass_b_struct(
-                        jnp.asarray(self.u_kn[:, c0:c1]),
+                        u_dev_c,
                         a_chunk,
                         jnp.asarray(c0, dtype=jnp.int64),
                         sws_dev, Ns_dev, fs_dev, f_dev, Nk_dev, sentinel,
@@ -1859,10 +1924,16 @@ class MBAR:
                 ul_dev_c = (
                     u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
                 )
+                if a_alias:
+                    la_dev_c = jnp.log(u_dev_c - shift_dev[:, None])
+                else:
+                    la_dev_c = jnp.asarray(
+                        logA[i_of_s, c0:c1].reshape(S, c1 - c0)
+                    )
                 g_c, cs_c, cnt, gidx, val = pass_b(
                     u_dev_c,
                     ul_dev_c,
-                    jnp.asarray(logA[i_of_s, c0:c1].reshape(S, c1 - c0)),
+                    la_dev_c,
                     jnp.asarray(c0, dtype=jnp.int64),
                 )
                 if dev_gram:
@@ -2376,7 +2447,13 @@ class MBAR:
             u_kn = self.u_kn
 
         K, N = np.shape(u_kn)
-        A_in = np.array(u_kn, copy=True)
+        if u_kn is self.u_kn and _is_dev(self.u_kn):
+            # device-resident matrix: pass the alias itself — the inner
+            # machinery's aliased-observable path keeps everything on
+            # device (copying here would pull GBs across the tunnel)
+            A_in = u_kn
+        else:
+            A_in = np.array(u_kn, copy=True)
         state_map = np.zeros([2, K], int)
         state_map[0, :] = np.arange(K)
         state_map[1, :] = np.arange(K)

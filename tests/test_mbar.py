@@ -717,6 +717,39 @@ def test_device_theta_pipeline_matches_host(monkeypatch):
         assert rel < 5e-3, (field, rel)
 
 
+def test_aliased_observable_entropy_matches_host(monkeypatch):
+    """compute_entropy_and_enthalpy with a device-resident u_kn must take
+    the aliased-observable streamed path (no host copy of the matrix, the
+    positivity shift applied chunkwise on device) and agree with the host
+    flow — including bootstrap uncertainties (the counts-weighted pass-A
+    with device-built observable chunks)."""
+    import jax.numpy as jnp
+
+    import pymbar_tpu.mbar as mbar_mod
+    from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+
+    K = 12
+    test = HarmonicOscillatorsTestCase(
+        O_k=np.linspace(0.0, 2.0, K), K_k=np.linspace(1.0, 3.0, K)
+    )
+    x_n, u_kn, N_k_out, s_n = test.sample(N_k=[150] * K, mode="u_kn", seed=5)
+    N_k = np.full(K, 150)
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+
+    for method in ("svd-ew", "bootstrap"):
+        nb = 6 if method == "bootstrap" else 0
+        m_host = MBAR(u_kn, N_k, n_bootstraps=nb, rseed=9)
+        m_dev = MBAR(u_kn, N_k, n_bootstraps=nb, rseed=9)
+        m_dev.u_kn = jnp.asarray(m_dev.u_kn)
+        r_h = m_host.compute_entropy_and_enthalpy(uncertainty_method=method)
+        r_d = m_dev.compute_entropy_and_enthalpy(uncertainty_method=method)
+        for field in r_h:
+            np.testing.assert_allclose(
+                np.asarray(r_d[field]), r_h[field], rtol=1e-9, atol=1e-11,
+                err_msg=f"entropy.{field} aliased != host ({method})",
+            )
+
+
 def test_device_scan_alias_compute_expectations(monkeypatch):
     """compute_expectations(x_n) passes u_ln = self.u_kn (the alias): with a
     device-resident matrix the scan path must reuse the SAME buffer (no
