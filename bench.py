@@ -485,6 +485,19 @@ def tpu_solve():
     entropy_s = time.time() - t0
     assert all(np.all(np.isfinite(ee[k])) for k in ee)
 
+    # overlap matrix (streamed Gram + host eig) and Kish effective sample
+    # numbers (streamed Gram diagonal) at the same scale.
+    ov = m.compute_overlap()  # warm-up / compile
+    t0 = time.time()
+    ov = m.compute_overlap()
+    overlap_s = time.time() - t0
+    assert np.isfinite(np.real(ov["scalar"]))
+    ne = m.compute_effective_sample_number()  # warm-up / compile
+    t0 = time.time()
+    ne = m.compute_effective_sample_number()
+    neff_s = time.time() - t0
+    assert np.all(np.isfinite(ne))
+
     del u64, out, m
 
     sigma_rel = sigma_parity_check(jax, jnp)
@@ -521,6 +534,8 @@ def tpu_solve():
         expectations_s=round(expectations_s, 3),
         expectations_all_states_s=round(expectations_all_states_s, 3),
         entropy_s=round(entropy_s, 3),
+        overlap_s=round(overlap_s, 3),
+        neff_s=round(neff_s, 3),
         **k4096,
     )
 
@@ -745,6 +760,8 @@ def main():
                 expectations_s=result["expectations_s"],
                 expectations_all_states_s=result["expectations_all_states_s"],
                 entropy_s=result["entropy_s"],
+                overlap_s=result["overlap_s"],
+                neff_s=result["neff_s"],
                 sigma_rel_err_streamed_vs_f64=result[
                     "sigma_rel_err_streamed_vs_f64"
                 ],

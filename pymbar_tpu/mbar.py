@@ -1654,10 +1654,22 @@ class MBAR:
                 m_l, s_l = np.asarray(ml), np.asarray(sl)
                 m_s, s_s = np.asarray(ms), np.asarray(ss)
             else:
-                m_l = np.full(NL, -np.inf)
-                s_l = np.zeros(NL)
-                m_s = np.full(S, -np.inf)
-                s_s = np.zeros(S)
+                # On TPU the running combines stay device arrays: a per-chunk
+                # np.asarray forces a sync + tunnel round trip (~30-45 ms)
+                # EVERY chunk, serializing the pipeline; device carries let
+                # all chunk dispatches enqueue back to back, converting once
+                # after the loop.  CPU keeps the host combine byte-identical.
+                dev_acc = on_tpu()
+                if dev_acc:
+                    m_l = jnp.full(NL, -jnp.inf, dtype=jnp.float64)
+                    s_l = jnp.zeros(NL, dtype=jnp.float64)
+                    m_s = jnp.full(S, -jnp.inf, dtype=jnp.float64)
+                    s_s = jnp.zeros(S, dtype=jnp.float64)
+                else:
+                    m_l = np.full(NL, -np.inf)
+                    s_l = np.zeros(NL)
+                    m_s = np.full(S, -np.inf)
+                    s_s = np.zeros(S)
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
                     c_c = None if counts is None else jnp.asarray(counts[c0:c1])
@@ -1683,9 +1695,16 @@ class MBAR:
                         sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
                     )
-                    with np.errstate(invalid="ignore"):
-                        m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
-                        m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                    if dev_acc:
+                        m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c)
+                        m_s, s_s = _aug_combine_dev(m_s, s_s, ms_c, ss_c)
+                    else:
+                        with np.errstate(invalid="ignore"):
+                            m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                            m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                if dev_acc:
+                    m_l, s_l = np.asarray(m_l), np.asarray(s_l)
+                    m_s, s_s = np.asarray(m_s), np.asarray(s_s)
             with np.errstate(divide="ignore"):
                 log_C = -(np.log(s_l) + m_l)  # (NL,)
                 R_s = np.log(s_s) + m_s  # (S,)
@@ -1726,10 +1745,17 @@ class MBAR:
                         self.bootstrap_rints[b], N, np.float32
                     )
                 fs_all = jnp.asarray(self.f_k_boots[:, sws])
-                m_l = np.full((B, NL), -np.inf)
-                s_l = np.zeros((B, NL))
-                m_s = np.full((B, S), -np.inf)
-                s_s = np.zeros((B, S))
+                dev_acc = on_tpu()
+                if dev_acc:
+                    m_l = jnp.full((B, NL), -jnp.inf, dtype=jnp.float64)
+                    s_l = jnp.zeros((B, NL), dtype=jnp.float64)
+                    m_s = jnp.full((B, S), -jnp.inf, dtype=jnp.float64)
+                    s_s = jnp.zeros((B, S), dtype=jnp.float64)
+                else:
+                    m_l = np.full((B, NL), -np.inf)
+                    s_l = np.zeros((B, NL))
+                    m_s = np.full((B, S), -np.inf)
+                    s_s = np.zeros((B, S))
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
                     u_dev_c = jnp.asarray(self.u_kn[:, c0:c1])
@@ -1750,9 +1776,16 @@ class MBAR:
                         jnp.asarray(counts_all[:, c0:c1]),
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
                     )
-                    with np.errstate(invalid="ignore"):
-                        m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
-                        m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                    if dev_acc:
+                        m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c)
+                        m_s, s_s = _aug_combine_dev(m_s, s_s, ms_c, ss_c)
+                    else:
+                        with np.errstate(invalid="ignore"):
+                            m_l, s_l = combine(m_l, s_l, np.asarray(ml_c), np.asarray(sl_c))
+                            m_s, s_s = combine(m_s, s_s, np.asarray(ms_c), np.asarray(ss_c))
+                if dev_acc:
+                    m_l, s_l = np.asarray(m_l), np.asarray(s_l)
+                    m_s, s_s = np.asarray(m_s), np.asarray(s_s)
                 with np.errstate(divide="ignore"):
                     logC_boot = -(np.log(s_l) + m_l)  # (B, NL)
                     R_s = np.log(s_s) + m_s  # (B, S)
@@ -1825,8 +1858,17 @@ class MBAR:
                 M0 = zeros((K, K))
                 M1 = zeros((K, K))
                 M2 = zeros((K, K))
-                c0s = np.zeros(K)
-                cAs = np.zeros(K)
+                if dev_gram:
+                    # device-resident small accumulators too: per-chunk
+                    # np.asarray/int() would sync the pipeline every chunk
+                    c0s = jnp.zeros(K)
+                    cAs = jnp.zeros(K)
+                    nbad_d = jnp.zeros((), jnp.int64)
+                    fbad_d = jnp.asarray(N + 1, jnp.int64)
+                    fval_d = jnp.zeros((), jnp.float64)
+                else:
+                    c0s = np.zeros(K)
+                    cAs = np.zeros(K)
                 n_bad, first_bad, first_val = 0, N + 1, 0.0
                 for c0 in starts:
                     c1 = min(c0 + nc, N)
@@ -1859,16 +1901,28 @@ class MBAR:
                         M0 = M0 + out[0]
                         M1 = M1 + out[1]
                         M2 = M2 + out[2]
+                        c0s = c0s + out[3]
+                        cAs = cAs + out[4]
+                        nbad_d = nbad_d + out[5]
+                        take = out[6] < fbad_d
+                        fval_d = jnp.where(take, out[7], fval_d)
+                        fbad_d = jnp.where(take, out[6], fbad_d)
                     else:
                         M0 += np.asarray(out[0])
                         M1 += np.asarray(out[1])
                         M2 += np.asarray(out[2])
-                    c0s += np.asarray(out[3])
-                    cAs += np.asarray(out[4])
-                    n_bad += int(out[5])
-                    if int(out[6]) < first_bad:
-                        first_bad = int(out[6])
-                        first_val = float(out[7])
+                        c0s += np.asarray(out[3])
+                        cAs += np.asarray(out[4])
+                        n_bad += int(out[5])
+                        if int(out[6]) < first_bad:
+                            first_bad = int(out[6])
+                            first_val = float(out[7])
+                if dev_gram:
+                    c0s = np.asarray(c0s)
+                    cAs = np.asarray(cAs)
+                    n_bad = int(nbad_d)
+                    first_bad = int(fbad_d)
+                    first_val = float(fval_d)
             # exact f64 diagonal scalings (K-sized, host)
             D_L = np.exp(log_C - self.f_k)  # W_L = diag(D_L) W_0
             E = np.exp(
@@ -1914,7 +1968,13 @@ class MBAR:
             gram = jnp.zeros((msize, msize)) if dev_gram else np.zeros(
                 (msize, msize)
             )
-            colsum = np.zeros(msize)
+            if dev_gram:
+                colsum = jnp.zeros(msize)
+                nbad_d = jnp.zeros((), jnp.int64)
+                fbad_d = jnp.asarray(N + 1, jnp.int64)
+                fval_d = jnp.zeros((), jnp.float64)
+            else:
+                colsum = np.zeros(msize)
             n_bad = 0
             first_bad = N + 1
             first_val = 0.0
@@ -1938,13 +1998,23 @@ class MBAR:
                 )
                 if dev_gram:
                     gram = gram + g_c
+                    colsum = colsum + cs_c
+                    nbad_d = nbad_d + cnt
+                    take = gidx < fbad_d
+                    fval_d = jnp.where(take, val, fval_d)
+                    fbad_d = jnp.where(take, gidx, fbad_d)
                 else:
                     gram += np.asarray(g_c)
-                colsum += np.asarray(cs_c)
-                n_bad += int(cnt)
-                if int(gidx) < first_bad:
-                    first_bad = int(gidx)
-                    first_val = float(val)
+                    colsum += np.asarray(cs_c)
+                    n_bad += int(cnt)
+                    if int(gidx) < first_bad:
+                        first_bad = int(gidx)
+                        first_val = float(val)
+            if dev_gram:
+                colsum = np.asarray(colsum)
+                n_bad = int(nbad_d)
+                first_bad = int(fbad_d)
+                first_val = float(fval_d)
 
         self._check_normalized_aggregates(colsum, (n_bad, first_bad, first_val))
 
