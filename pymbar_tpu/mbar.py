@@ -126,6 +126,12 @@ def _row_select(x, idx, mode, n_out):
     * "zero"     — all idx == 0: broadcast the first row;
     * "gather"   — general: one-hot matmul on the MXU (exact: the one-hot
       entries are 0/1, so products are error-free in any float type).
+      Non-finite source entries would poison the matmul (0 * inf = NaN),
+      so they are routed around it: the matmul runs on a finitized copy
+      and a second exact one-hot matmul of a small class code (0 finite,
+      1 -inf, 2 +inf, 3 NaN) restores the selected entry's value.  ±inf
+      is a legitimate MBAR input (hard-wall states, log of a zero-shifted
+      observable).
     """
     if mode == "identity":
         return x
@@ -134,7 +140,17 @@ def _row_select(x, idx, mode, n_out):
     if mode == "zero":
         return jnp.broadcast_to(x[0:1], (n_out, x.shape[1]))
     oh = (idx[:, None] == jnp.arange(x.shape[0])[None, :]).astype(x.dtype)
-    return jnp.dot(oh, x, preferred_element_type=x.dtype)
+    finite = jnp.isfinite(x)
+    out = jnp.dot(
+        oh, jnp.where(finite, x, 0.0), preferred_element_type=x.dtype
+    )
+    cls = jnp.where(
+        finite, 0.0, jnp.where(x == -jnp.inf, 1.0, jnp.where(x == jnp.inf, 2.0, 3.0))
+    ).astype(x.dtype)
+    c = jnp.dot(oh, cls, preferred_element_type=x.dtype)
+    out = jnp.where(c == 1.0, -jnp.inf, out)
+    out = jnp.where(c == 2.0, jnp.inf, out)
+    return jnp.where(c == 3.0, jnp.nan, out)
 
 
 def _idx_mode(idx, nrows):
@@ -423,6 +439,7 @@ def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
     of a device-resident u_kn) — the aliased twin of _aug_pass_b_scan."""
     K_rows, N = u_kn.shape
     nc = max(1, N // num_chunks)
+    num_chunks = N // nc
 
     def fold(acc, sl_u, sl_la, base):
         M0, M1, M2, c0, cA, cnt, fidx, fval = acc
@@ -883,6 +900,7 @@ class MBAR:
 
             self.f_k, f_boots_done, n_fail, info = solve_mbar_dd_bootstrap(
                 self.u_kn, self.N_k, self.f_k, bootstrap_counts,
+                tol=solver_protocol[0].get("tol", 1.0e-12),
                 options=solver_protocol[0].get("options") or {},
                 verbose=verbose,
             )
@@ -1338,6 +1356,11 @@ class MBAR:
             and S > 0
             and np.array_equal(uls, np.arange(uls.size))
             and np.array_equal(state_map[1, :S], np.arange(S))
+            # the streamed router below additionally requires
+            # u_ln.shape[0] == NL; with the alias u_ln.shape[0] == K, so
+            # the state_list must cover every sampled state — otherwise
+            # the materializing fallback would run on the UNSHIFTED A_n
+            and uls.size == self.u_kn.shape[0]
         )
         if not a_alias:
             # Work on a float64 copy of the observables: the reference
