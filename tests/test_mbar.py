@@ -779,3 +779,51 @@ def test_device_scan_alias_compute_expectations(monkeypatch):
                 r_d[field], r_h[field], rtol=1e-9, atol=1e-11,
                 err_msg=f"expectations.{field} alias-scan != host ({kwargs})",
             )
+
+
+def test_row_select_gather_preserves_nonfinite():
+    """_row_select's one-hot-matmul gather must reproduce x[idx] exactly,
+    INCLUDING non-finite entries: 0 * inf = NaN would otherwise poison the
+    matmul, and +/-inf rows are legitimate (hard-wall states, log of a
+    zero observable).  Checked against numpy fancy indexing."""
+    import pymbar_tpu.mbar as mbar_mod
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, 9))
+    x[1, 3] = -np.inf
+    x[2, 0] = np.inf
+    x[4, 7] = np.nan
+    x[5, :] = -np.inf
+    for idx in (
+        np.array([1, 1, 4, 2, 5, 0]),
+        np.array([5, 5, 5]),
+        np.array([3, 0]),  # finite-only rows through the same path
+    ):
+        got = np.asarray(
+            mbar_mod._row_select(x, idx, "gather", idx.size)
+        )
+        np.testing.assert_array_equal(got, x[idx])
+
+
+def test_streamed_expectations_with_zero_observable(monkeypatch):
+    """End-to-end: streamed augmented expectations where the observable has
+    exact zeros (logA rows contain -inf after the shift) must match the
+    materializing path — exercises the non-finite-safe row gather."""
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([250, 220, 240, 230], mode="u_kn", seed=5)
+    N_k = np.array([250, 220, 240, 230])
+    # observable with exact zeros and sign changes
+    a_n = np.where(np.abs(x_n) < 0.5, 0.0, x_n)
+    mbar = MBAR(u_kn, N_k)
+
+    r = {}
+    for tag, patch in (("host", 2**62), ("stream", 0)):
+        monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", patch)
+        r[tag] = mbar.compute_expectations(a_n)
+    for field in r["host"]:
+        np.testing.assert_allclose(
+            r["stream"][field], r["host"][field], rtol=1e-9, atol=1e-11,
+            err_msg=f"expectations.{field} streamed != materialized (zeros)",
+        )
