@@ -435,23 +435,7 @@ def tpu_solve():
     # Theta wall time and one expectations-machinery call at the 8 GB
     # config, both on the asserted no-NxK streamed paths.
     from pymbar_tpu.mbar import MBAR as _MBAR
-    from pymbar_tpu.ops.mbar_core import mbar_gram_normalization
 
-    def _theta_pass():
-        gram, colsum, rowstats = mbar_gram_normalization(u64, N_k64, jnp.asarray(f))
-        return _MBAR._theta_svd_ew_from_gram(
-            np.asarray(gram, dtype=np.float64), np.full(K, float(N_PER_STATE))
-        )
-
-    theta = _theta_pass()  # warm-up / compile
-    t0 = time.time()
-    theta = _theta_pass()
-    cov_s = time.time() - t0
-    assert np.all(np.isfinite(theta))
-
-    # compute_perturbed_free_energies (the augmented-state expectations
-    # machinery, streamed: pass A log-normalizers + pass B augmented Gram)
-    # through the real class method on a device-resident matrix.
     m = _MBAR.__new__(_MBAR)
     m.u_kn = u64
     m.N_k = np.full(K, N_PER_STATE, dtype=np.int64)
@@ -460,6 +444,20 @@ def tpu_solve():
     m.samestates = []
     m.n_bootstraps = 0
     m.verbose = False
+
+    # svd-ew Theta through the PRODUCTION route (_compute_theta_streamed):
+    # one streamed Gram pass + the device lowrank Eq. D4/D5 algebra.  (An
+    # earlier bench revision timed the host-dense _theta_svd_ew_from_gram
+    # here — ~2.5 s of single-vCPU pinv the class path never runs on TPU.)
+    theta = m._compute_theta_streamed()  # warm-up / compile
+    t0 = time.time()
+    theta = m._compute_theta_streamed()
+    cov_s = time.time() - t0
+    assert np.all(np.isfinite(theta))
+
+    # compute_perturbed_free_energies (the augmented-state expectations
+    # machinery, streamed: pass A log-normalizers + pass B augmented Gram)
+    # through the real class method on a device-resident matrix.
     u_ln = np.asarray(u64[:2]) + np.array([[0.0], [0.1]])
     pert = m.compute_perturbed_free_energies(u_ln)  # warm-up / compile
     t0 = time.time()

@@ -459,9 +459,125 @@ def lognum_fused_dd(
 
 # Above this many (padded) states a single wsum/fused tile no longer fits
 # VMEM (measured on v5e: K=1024 x tile 512 compiles, K=4096 x tile 128 is
-# 19.9M vs the 16M scoped limit); larger K routes through the two-pass
-# k-blocked scheme (denominator partials + weight sums, same dd math).
+# 19.9M vs the 16M scoped limit); larger K routes through _wsum_big (one
+# HBM read, in-kernel k-block loops, T1 parked in VMEM scratch) up to
+# _WSUM_BIG_MAX_K, then through the two-pass k-blocked scheme
+# (denominator partials + weight sums, same dd math).
 _WSUM_MAX_K = 2048
+
+# _wsum_big budget: inputs (2 planes, double-buffered) + the T1 scratch
+# pair is 16 * K_pad * tile bytes; K_pad = 4096 x tile 128 is 8 MB + ~1 MB
+# of k-block-sized exp temps, inside the 16 MB scoped VMEM.
+_WSUM_BIG_MAX_K = 4096
+_WSUM_BIG_KBLK = 512
+
+
+def _wsum_big_kernel(uh_ref, ul_ref, gh_ref, gl_ref, *rest, fast, k_blk, weighted):
+    """One (K_pad, TILE_N) column stripe for K too large for one-block temps.
+
+    The k extent is walked in static k_blk-row blocks INSIDE the kernel with
+    the T1 = exp((g - u) - m) terms parked in VMEM scratch, so the planes
+    are read from HBM once and the dd exp runs once per element — the
+    two-pass k-blocked route (denom_sums_dd + wsum_denom_dd) streams the
+    planes twice and pays the exp twice, which halves its throughput on the
+    flop-bound dd kernel (measured 48.6 vs 99.5 GB/s at K=4096/K=1024).
+    Same math and padding conventions as :func:`_wsum_kernel`.
+    """
+    i = pl.program_id(0)
+    if weighted:
+        c_ref, sh_ref, sl_ref, t1h_ref, t1l_ref = rest
+    else:
+        sh_ref, sl_ref, t1h_ref, t1l_ref = rest
+    K_pad = uh_ref.shape[0]
+    nblk = K_pad // k_blk
+
+    # Global per-column shift in plain f32 (it only has to be a nearby
+    # representable value; _exp_terms folds it in error-free).
+    m = jnp.max(gh_ref[0:k_blk, :] - uh_ref[0:k_blk, :], axis=0, keepdims=True)
+    for b in range(1, nblk):
+        s = slice(b * k_blk, (b + 1) * k_blk)
+        m = jnp.maximum(
+            m, jnp.max(gh_ref[s, :] - uh_ref[s, :], axis=0, keepdims=True)
+        )
+
+    # Denominator sums over all k, storing each block's T1 terms.
+    s_hi = jnp.zeros_like(m)
+    s_lo = jnp.zeros_like(m)
+    for b in range(nblk):
+        s = slice(b * k_blk, (b + 1) * k_blk)
+        e_hi, e_lo = _exp_terms(
+            uh_ref[s, :], ul_ref[s, :], gh_ref[s, :], gl_ref[s, :], m, fast=fast
+        )
+        t1h_ref[s, :] = e_hi
+        t1l_ref[s, :] = e_lo
+        th, tl = _dd_tree_sum(e_hi, e_lo, axis=0)
+        s_hi, s_lo = dd_add(s_hi, s_lo, th, tl)
+
+    r_hi, r_lo = dd_recip(s_hi, s_lo)
+    # Padded sample columns: every row sentinel, so m ~ -2e10 (see
+    # _wsum_kernel's pad_col rationale).
+    pad_col = m < jnp.float32(-1.0e8)
+    r_hi = jnp.where(pad_col, jnp.float32(0.0), r_hi)
+    r_lo = jnp.where(pad_col, jnp.float32(0.0), r_lo)
+    if weighted:
+        r_hi, r_lo = dd_mul_f(r_hi, r_lo, c_ref[:, :])
+
+    @pl.when(i == 0)
+    def _():
+        sh_ref[:, :] = jnp.zeros_like(sh_ref)
+        sl_ref[:, :] = jnp.zeros_like(sl_ref)
+
+    for b in range(nblk):
+        s = slice(b * k_blk, (b + 1) * k_blk)
+        w_hi, w_lo = dd_mul(t1h_ref[s, :], t1l_ref[s, :], r_hi, r_lo)
+        th, tl = _dd_tree_sum(w_hi, w_lo, axis=1)  # (k_blk, 1)
+        nh, nl = dd_add(sh_ref[s, :], sl_ref[s, :], th, tl)
+        sh_ref[s, :] = nh
+        sl_ref[s, :] = nl
+
+
+def _wsum_big(u_hi, u_lo, g_hi, g_lo, c, tile_n, interpret, fast):
+    """Single-read wsum for 2048 < K_pad <= 4096: grid over column stripes,
+    full-K input blocks, T1 in VMEM scratch.  Inputs must be pre-padded to
+    (K_pad pow2, N multiple of tile_n); returns (S_hi, S_lo): (K_pad,)."""
+    K_pad, Np = u_hi.shape
+    grid = (Np // tile_n,)
+
+    block_u = pl.BlockSpec((K_pad, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    block_g = pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [block_u, block_u, block_g, block_g]
+    operands = [u_hi, u_lo, g_hi.reshape(K_pad, 1), g_lo.reshape(K_pad, 1)]
+    if c is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(c.reshape(1, Np))
+
+    with jax.enable_x64(False):
+        s_hi, s_lo = pl.pallas_call(
+            functools.partial(
+                _wsum_big_kernel,
+                fast=fast,
+                k_blk=min(_WSUM_BIG_KBLK, K_pad),
+                weighted=c is not None,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K_pad, tile_n), jnp.float32),
+                pltpu.VMEM((K_pad, tile_n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*operands)
+    return s_hi.reshape(K_pad), s_lo.reshape(K_pad)
 
 
 def _wsum_kernel(uh_ref, ul_ref, gh_ref, gl_ref, *rest, fast, weighted=False):
@@ -548,10 +664,30 @@ def wsum_dd(u_hi, u_lo, g_hi, g_lo, c=None, tile_n=_TILE_N, interpret=False, fas
     """
     K, N = u_hi.shape
     K_pad = 1 << (K - 1).bit_length()
+    if _WSUM_MAX_K < K_pad <= _WSUM_BIG_MAX_K:
+        # Too many states for one-block temps but inside the scratch
+        # budget: single-read route (in-kernel k-block loops, T1 parked in
+        # VMEM — one HBM pass, one dd exp per element).
+        if tile_n is None:
+            tile_n = _pick_tile_wsum(K_pad)
+        n_pad = (-N) % tile_n
+        if K_pad != K or n_pad:
+            u_hi = jnp.pad(
+                u_hi, ((0, K_pad - K), (0, n_pad)), constant_values=_PAD_U
+            )
+            u_lo = jnp.pad(u_lo, ((0, K_pad - K), (0, n_pad)))
+            g_hi = jnp.pad(g_hi, (0, K_pad - K), constant_values=-_PAD_U)
+            g_lo = jnp.pad(g_lo, (0, K_pad - K))
+            if c is not None:
+                c = jnp.pad(c, (0, n_pad))
+        s_hi, s_lo = _wsum_big(
+            u_hi, u_lo, g_hi, g_lo, c, tile_n, interpret, fast
+        )
+        return s_hi[:K], s_lo[:K]
     if K_pad > _WSUM_MAX_K:
-        # Too many states for one VMEM-resident tile: two-pass k-blocked
-        # route (same dd math, one extra read of the planes).  The shift
-        # must be global over k, so one cheap f32 max pass precedes.
+        # Beyond the single-read scratch budget: two-pass k-blocked route
+        # (same dd math, one extra read of the planes).  The shift must be
+        # global over k, so one cheap f32 max pass precedes.
         m_n = jnp.max(g_hi[:, None] - u_hi, axis=0)
         dh, dl = denom_sums_dd(
             u_hi, u_lo, g_hi, g_lo, m_n, tile_n=tile_n, interpret=interpret,

@@ -261,3 +261,27 @@ def test_wsum_keeps_high_energy_real_samples():
     assert np.max(np.abs(S - S_true)) < 1e-10
     # and the clash sample's weight went to states 1 and 2, not nowhere
     assert w[1:, 5].sum() > 0.99
+
+
+def test_wsum_big_single_read_interpret_matches_ref():
+    """The single-read big-K wsum route (2048 < K_pad <= 4096: in-kernel
+    k-block loops, T1 in VMEM scratch) must match the jnp dd reference in
+    interpret mode, weighted and unweighted.  The only dd difference vs the
+    one-block kernel is the reduction order (per-block tree sums combined
+    with dd adds), so agreement is at the dd noise scale."""
+    from pymbar_tpu.ops.pallas_kernels import _WSUM_MAX_K, wsum_dd, wsum_dd_ref
+
+    rng = np.random.default_rng(11)
+    K, N = _WSUM_MAX_K + 50, 140  # pads to 4096 rows -> big-K route
+    u64 = jnp.asarray(rng.standard_normal((K, N)) * 3.0 + 5.0)
+    uh, ul = dd_from_f64(u64)
+    gh, gl = dd_from_f64(jnp.asarray(rng.standard_normal(K) * 0.5))
+    c = jnp.asarray(rng.integers(0, 4, N).astype(np.float32))
+
+    S_ref = np.asarray(dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl)))
+    S_new = np.asarray(dd_to_f64(*wsum_dd(uh, ul, gh, gl, interpret=True)))
+    assert np.max(np.abs(S_new - S_ref) / np.maximum(S_ref, 1e-30)) < 1e-10
+
+    Sc_ref = np.asarray(dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl, c=c)))
+    Sc_new = np.asarray(dd_to_f64(*wsum_dd(uh, ul, gh, gl, c=c, interpret=True)))
+    assert np.max(np.abs(Sc_new - Sc_ref) / np.maximum(Sc_ref, 1e-30)) < 1e-10
