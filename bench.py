@@ -372,8 +372,8 @@ def tpu_solve():
     wsum_elem_rate = K * N / dd_pass
     roofline_pct = 100.0 * wsum_elem_rate / wsum_ceiling
     wsum_ops_rate = K * N * wsum_flops / dd_pass
-    semantic_ops_pct = 100.0 * wsum_ops_rate / vpu_peak_ops
-    semantic_floor_pct = semantic_ops_pct / 2.0
+    semantic_ops_ratio = wsum_ops_rate / vpu_peak_ops
+    semantic_floor_pct = 100.0 * semantic_ops_ratio / 2.0
 
     # Bootstrap replicate throughput at the 8 GB config: counts-weighted
     # chord-Newton polishes on the resident planes (warm-started at f,
@@ -450,8 +450,12 @@ def tpu_solve():
     # earlier bench revision timed the host-dense _theta_svd_ew_from_gram
     # here — ~2.5 s of single-vCPU pinv the class path never runs on TPU.)
     theta = m._compute_theta_streamed()  # warm-up / compile
+    _fence(theta)
     t0 = time.time()
     theta = m._compute_theta_streamed()
+    # The lowrank path returns a device-resident Theta whose trailing
+    # assembly matmuls are still in flight — fence inside the timed region.
+    _fence(theta)
     cov_s = time.time() - t0
     assert np.all(np.isfinite(theta))
 
@@ -523,7 +527,9 @@ def tpu_solve():
         wsum_ceiling_gelem_s=round(wsum_ceiling / 1e9, 2),
         wsum_streamed_gelem_s=round(wsum_elem_rate / 1e9, 2),
         vpu_roofline_pct=round(roofline_pct, 1),
-        vpu_semantic_ops_pct=round(semantic_ops_pct, 1),
+        # Ratio of counted (semantic) ops to the single-issue VPU ceiling;
+        # >1 is expected (Mosaic FMA pairing) — see docs/numerics.md.
+        semantic_ops_vs_single_issue_ratio=round(semantic_ops_ratio, 2),
         vpu_semantic_floor_pct=round(semantic_floor_pct, 1),
         bootstrap_reps_per_s=round(boot_reps_per_s, 3),
         bootstrap_n_fail=int(n_fail),
@@ -750,7 +756,7 @@ def main():
                 wsum_ceiling_gelem_s=result["wsum_ceiling_gelem_s"],
                 wsum_streamed_gelem_s=result["wsum_streamed_gelem_s"],
                 vpu_roofline_pct=result["vpu_roofline_pct"],
-                vpu_semantic_ops_pct=result["vpu_semantic_ops_pct"],
+                semantic_ops_vs_single_issue_ratio=result["semantic_ops_vs_single_issue_ratio"],
                 vpu_semantic_floor_pct=result["vpu_semantic_floor_pct"],
                 bootstrap_reps_per_s=result["bootstrap_reps_per_s"],
                 bootstrap_n_fail=result["bootstrap_n_fail"],

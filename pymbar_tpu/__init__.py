@@ -1,7 +1,7 @@
 """pymbar_tpu — a TPU-native MBAR engine (JAX/XLA/Pallas/pjit).
 
 A from-scratch rebuild of the capability surface of pymbar 4.x
-(reference: choderalab/pymbar, mounted at /root/reference): the MBAR
+(reference: choderalab/pymbar, pymbar 4.x upstream): the MBAR
 estimator, BAR/EXP two-state estimators, free-energy surfaces, timeseries
 decorrelation tools and analytically solvable test systems — with the hot
 path (logsumexp reductions over the K×N reduced-potential matrix, W^T W
@@ -9,7 +9,7 @@ Grams, the adaptive Newton/self-consistent solver) running on TPU through
 JAX, and sample-axis sharding across chips via jax.sharding (see
 pymbar_tpu.parallel).
 
-Public surface parity: /root/reference/pymbar/__init__.py:33-51.
+Public surface parity: pymbar 4.x __init__.py:33-51.
 """
 
 from pymbar_tpu import config  # noqa: F401  (enables x64 before anything traces)

@@ -1,6 +1,6 @@
 """Statistical QA of uncertainty estimates over many replicates.
 
-Capability parity with /root/reference/pymbar/confidenceintervals.py:33-461:
+Capability parity with pymbar 4.x confidenceintervals.py:33-461:
 ``order_replicates`` (error z-scores, sorted per component),
 ``anderson_darling`` (case-1 A-D normality statistic), ``qq_plot``
 (matplotlib Q-Q grids), and ``generate_confidence_intervals`` (observed

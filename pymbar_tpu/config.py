@@ -1,7 +1,7 @@
 """Global numeric configuration for pymbar_tpu.
 
 The MBAR equations need ~1e-12 relative precision in their logsumexp
-accumulations (reference: /root/reference/pymbar/mbar_solvers.py:142-171 forces
+accumulations (reference: pymbar 4.x mbar_solvers.py:142-171 forces
 ``jax_enable_x64`` at call time).  We enable x64 once at import:
 
 * On CPU (and GPU) backends this gives true IEEE float64 — the parity/testing

@@ -1,7 +1,7 @@
 """Free energy surfaces from MBAR-weighted samples: histogram, KDE, spline.
 
 Capability parity with the reference ``pymbar/fes.py`` class ``FES``
-(/root/reference/pymbar/fes.py:47-2477):
+(pymbar 4.x fes.py:47-2477):
 
 * histogram FES with analytical (augmented-Theta) or bootstrap uncertainties
 * kernel-density FES — here a native JAX weighted Gaussian KDE
@@ -73,7 +73,7 @@ class FES:
         Notes
         -----
         Reference: ``pymbar.FES.__init__``
-        (/root/reference/pymbar/fes.py:74-210).
+        (pymbar 4.x fes.py:74-210).
 
         Examples
         --------
@@ -229,7 +229,7 @@ class FES:
         Notes
         -----
         Reference: ``pymbar.FES.generate_fes``
-        (/root/reference/pymbar/fes.py:221-438); bootstrap replicates solve
+        (pymbar 4.x fes.py:221-438); bootstrap replicates solve
         batched on TPU, and the reference's mis-indented bootstrap loop bug
         is fixed.
 
@@ -842,7 +842,7 @@ class FES:
         Notes
         -----
         Reference: ``pymbar.FES.get_information_criteria``
-        (/root/reference/pymbar/fes.py:1136-1165).
+        (pymbar 4.x fes.py:1136-1165).
         """
         if self.fes_type != "spline":
             raise ParameterError(
@@ -891,7 +891,7 @@ class FES:
         Notes
         -----
         Reference: ``pymbar.FES.get_fes``
-        (/root/reference/pymbar/fes.py:1167-1231); the reference's broken
+        (pymbar 4.x fes.py:1167-1231); the reference's broken
         'all-differences' covariance indexing (fes.py:1487) is fixed here.
         """
         x = np.array(x)
@@ -1245,7 +1245,7 @@ class FES:
         -----
         Spline surfaces only.  Reference:
         ``pymbar.FES.sample_parameter_distribution``
-        (/root/reference/pymbar/fes.py:1696-1857).
+        (pymbar 4.x fes.py:1696-1857).
         """
         if self.fes_type != "spline":
             raise ParameterError("Sampling of posterior is only supported for spline type")
@@ -1370,7 +1370,7 @@ class FES:
         -----
         Requires :meth:`sample_parameter_distribution` first.  Reference:
         ``pymbar.FES.get_confidence_intervals``
-        (/root/reference/pymbar/fes.py:1859-1926).
+        (pymbar 4.x fes.py:1859-1926).
         """
         if self.mc_data is None:
             raise DataError("No MC sampling has been done, cannot construct confidence intervals")
@@ -1418,7 +1418,7 @@ class FES:
         Notes
         -----
         Requires :meth:`sample_parameter_distribution` first.  Reference:
-        ``pymbar.FES.get_mc_data`` (/root/reference/pymbar/fes.py:1928-1952).
+        ``pymbar.FES.get_mc_data`` (pymbar 4.x fes.py:1928-1952).
         """
         if self.mc_data is None:
             raise DataError("No MC sampling has been done, cannot construct confidence intervals")

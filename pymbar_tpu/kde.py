@@ -1,7 +1,7 @@
 """Weighted Gaussian kernel density estimation on device.
 
 Drop-in replacement for the sklearn ``KernelDensity`` surface the reference
-FES uses (/root/reference/pymbar/fes.py:620-699, :1523-1609): ``fit(X,
+FES uses (pymbar 4.x fes.py:620-699, :1523-1609): ``fit(X,
 sample_weight)``, ``score_samples(X)`` (log density), ``sample()``,
 ``get_params``/``set_params`` with the same parameter names (unknown names
 raise, matching the reference's parameter validation).

@@ -1,7 +1,7 @@
 """The MBAR estimator class.
 
 Capability parity with the reference ``pymbar/mbar.py`` class ``MBAR``
-(/root/reference/pymbar/mbar.py:64-1988): identical constructor surface,
+(pymbar 4.x mbar.py:64-1988): identical constructor surface,
 result-dictionary schemas and uncertainty-method options
 (None/approximate/svd/svd-ew/bootstrap).
 
@@ -684,7 +684,7 @@ class MBAR:
         Notes
         -----
         Reference surface: ``pymbar.MBAR.__init__``
-        (/root/reference/pymbar/mbar.py:85-231), extended by ``mesh``.
+        (pymbar 4.x mbar.py:85-231), extended by ``mesh``.
         """
         self.N_k = np.array(N_k, dtype=np.int64)
         self.N = int(np.sum(self.N_k))
@@ -1083,7 +1083,7 @@ class MBAR:
         Notes
         -----
         Reference: ``pymbar.MBAR.weights``
-        (/root/reference/pymbar/mbar.py:481-493).
+        (pymbar 4.x mbar.py:481-493).
         """
         return np.exp(self.Log_W_nk)
 
@@ -1122,7 +1122,7 @@ class MBAR:
         ``sum_n W_nk^2`` is the Gram diagonal, so this is one streamed
         device pass with no N x K materialization.  Reference:
         ``pymbar.MBAR.compute_effective_sample_number``
-        (/root/reference/pymbar/mbar.py:496-560).
+        (pymbar 4.x mbar.py:496-560).
         """
         gram, _ = self._gram_colsum()
         N_eff = 1.0 / np.diag(gram)
@@ -1154,7 +1154,7 @@ class MBAR:
         -----
         W^T W comes from one streamed device Gram pass — no N x K weight
         matrix is formed.  Reference: ``pymbar.MBAR.compute_overlap``
-        (/root/reference/pymbar/mbar.py:563-617).
+        (pymbar 4.x mbar.py:563-617).
 
         Examples
         --------
@@ -1215,7 +1215,7 @@ class MBAR:
         The asymptotic estimators consume W in streamed Gram form — no
         N x K weight matrix is materialized at any scale.  Reference:
         ``pymbar.MBAR.compute_free_energy_differences``
-        (/root/reference/pymbar/mbar.py:620-729).
+        (pymbar 4.x mbar.py:620-729).
 
         Examples
         --------
@@ -1311,7 +1311,7 @@ class MBAR:
         Above 512 MB of ``u_kn`` the whole machinery streams over sample
         chunks on device (no N x (K+NL+S) matrix exists).  Reference:
         ``pymbar.MBAR.compute_expectations_inner``
-        (/root/reference/pymbar/mbar.py:732-1030).
+        (pymbar 4.x mbar.py:732-1030).
         """
         logfactor = 4.0 * np.finfo(np.float64).eps
 
@@ -2087,7 +2087,7 @@ class MBAR:
         Vectorized einsum over (n, n, K, K) covariance blocks, replacing
         the reference's quadruple loop (which carries a TODO to vectorize):
         ``pymbar.MBAR.compute_covariance_of_sums``
-        (/root/reference/pymbar/mbar.py:1033-1121).
+        (pymbar 4.x mbar.py:1033-1121).
         """
         a = np.asarray(a, dtype=np.float64)
         var_ij = np.square(np.asarray(d_ij))
@@ -2158,7 +2158,7 @@ class MBAR:
         whole computation stays in log space; above 512 MB of ``u_kn`` the
         augmented-state machinery streams over sample chunks on device.
         Reference: ``pymbar.MBAR.compute_expectations``
-        (/root/reference/pymbar/mbar.py:1124-1312) — with the fix that
+        (pymbar 4.x mbar.py:1124-1312) — with the fix that
         ``return_theta=True`` without uncertainties does not crash.
 
         Examples
@@ -2327,7 +2327,7 @@ class MBAR:
         Notes
         -----
         Reference: ``pymbar.MBAR.compute_multiple_expectations``
-        (/root/reference/pymbar/mbar.py:1315-1439), including its
+        (pymbar 4.x mbar.py:1315-1439), including its
         ``compute_uncertainty != "bootstrap"`` comparison quirk (preserved
         for behavioral parity — verified identical upstream).
 
@@ -2438,7 +2438,7 @@ class MBAR:
         Notes
         -----
         Reference: ``pymbar.MBAR.compute_perturbed_free_energies``
-        (/root/reference/pymbar/mbar.py:1442-1520).
+        (pymbar 4.x mbar.py:1442-1520).
 
         Examples
         --------
@@ -2517,7 +2517,7 @@ class MBAR:
         Notes
         -----
         Reference: ``pymbar.MBAR.compute_entropy_and_enthalpy``
-        (/root/reference/pymbar/mbar.py:1524-1681).
+        (pymbar 4.x mbar.py:1524-1681).
 
         Examples
         --------

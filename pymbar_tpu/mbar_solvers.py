@@ -2,7 +2,7 @@
 
 Reference users import solver primitives as ``from pymbar import
 mbar_solvers``; this module re-exports the same names
-(/root/reference/pymbar/mbar_solvers.py) from their homes in
+(pymbar 4.x mbar_solvers.py) from their homes in
 :mod:`pymbar_tpu.ops.mbar_core` and :mod:`pymbar_tpu.solvers`.
 All functions accept NumPy arrays directly (jit handles conversion).
 """

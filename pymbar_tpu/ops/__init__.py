@@ -1,7 +1,7 @@
 """Device-side numeric kernels (JAX/XLA/Pallas) for pymbar_tpu.
 
 The reference's "native layer" was optional numexpr/JAX acceleration of a
-NumPy core (/root/reference/pymbar/mbar_solvers.py:14-97).  Here the always-on
+NumPy core (pymbar 4.x mbar_solvers.py:14-97).  Here the always-on
 JAX core lives in :mod:`pymbar_tpu.ops.mbar_core`, the stable reductions in
 :mod:`pymbar_tpu.ops.logsumexp`, and the fused TPU kernels in
 :mod:`pymbar_tpu.ops.pallas_kernels`.

@@ -1,7 +1,7 @@
 """Stable (weighted) logsumexp on device.
 
 Semantics match the reference host implementation
-(/root/reference/pymbar/utils.py:279-337): the per-slice maximum is clamped
+(pymbar 4.x utils.py:279-337): the per-slice maximum is clamped
 to 0 when non-finite so all-(-inf) slices reduce to -inf instead of nan, and
 an optional multiplicative weight ``b`` scales each exponential.
 

@@ -1,7 +1,7 @@
 """Core MBAR numerics as pure jit-compiled functions of (u_kn, N_k, f_k).
 
 Capability parity with the reference solver primitives
-(/root/reference/pymbar/mbar_solvers.py:174-507, :697-735):
+(pymbar 4.x mbar_solvers.py:174-507, :697-735):
 
 * ``self_consistent_update``  — Eq. C3 of Shirts & Chodera JCP 129:124105
 * ``mbar_gradient``           — Eq. C6

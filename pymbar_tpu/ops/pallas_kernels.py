@@ -465,9 +465,10 @@ def lognum_fused_dd(
 # (denominator partials + weight sums, same dd math).
 _WSUM_MAX_K = 2048
 
-# _wsum_big budget: inputs (2 planes, double-buffered) + the T1 scratch
-# pair is 16 * K_pad * tile bytes; K_pad = 4096 x tile 128 is 8 MB + ~1 MB
-# of k-block-sized exp temps, inside the 16 MB scoped VMEM.
+# _wsum_big budget: the double-buffered input planes are 16 B/element
+# (2 planes x 2 buffers x 4 B) and the T1 scratch pair adds 8 B/element,
+# so the live set is ~24 * K_pad * tile bytes; K_pad = 4096 x tile 128 is
+# ~12 MB + ~1 MB of k-block-sized exp temps, inside the 16 MB scoped VMEM.
 _WSUM_BIG_MAX_K = 4096
 _WSUM_BIG_KBLK = 512
 
@@ -659,7 +660,7 @@ def wsum_dd(u_hi, u_lo, g_hi, g_lo, c=None, tile_n=_TILE_N, interpret=False, fas
     With ``c`` it is also the bootstrap-replicate kernel: a resample is the
     same dataset with integer sample multiplicities, so replicate gradients
     come from the same resident planes (reference semantics
-    /root/reference/pymbar/mbar.py:417-449, which gathers a resampled
+    pymbar 4.x mbar.py:417-449, which gathers a resampled
     matrix per replicate instead).
     """
     K, N = u_hi.shape

@@ -1,6 +1,6 @@
 """Two-state free-energy estimators: BAR, EXP and variants.
 
-Capability parity with /root/reference/pymbar/other_estimators.py:56-719.
+Capability parity with pymbar 4.x other_estimators.py:56-719.
 These operate on 1-D work arrays (typically small); they run host-side in
 float64 with stable log-space arithmetic, and :func:`bar_overlap` reuses the
 device-accelerated :class:`pymbar_tpu.MBAR`.

@@ -833,7 +833,7 @@ def sharded_bootstrap_polish_dd(
     base solve's frozen factor.  No resampled matrix and no cross-device
     sample movement ever happens — the only extra communication is the
     (N/D,)-per-device count upload and the usual K-sized partial merges.
-    Reference semantics: /root/reference/pymbar/mbar.py:417-449.
+    Reference semantics: pymbar 4.x mbar.py:417-449.
     Returns (f_boots (B, K) float64, n_fail).
     """
     import logging as _logging

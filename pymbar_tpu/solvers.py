@@ -1,6 +1,6 @@
 """MBAR solver engine: adaptive Newton/self-consistent iteration + protocol chain.
 
-Capability parity with /root/reference/pymbar/mbar_solvers.py:102-1017:
+Capability parity with pymbar 4.x mbar_solvers.py:102-1017:
 
 * solver protocol constants (DEFAULT/ROBUST/JAX/BOOTSTRAP)
 * ``adaptive``            — dual SC/Newton step, pick the smaller gradient

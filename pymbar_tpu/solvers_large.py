@@ -256,7 +256,7 @@ def bootstrap_polish_dd(
     per-sample multiplicities, so each replicate streams the SAME (hi, lo)
     planes through the weighted wsum kernel — no K x N resampled copy ever
     exists, on host or device (the reference gathers one per replicate:
-    /root/reference/pymbar/mbar.py:417-449).  Each replicate warm-starts
+    pymbar 4.x mbar.py:417-449).  Each replicate warm-starts
     from the base solution ``f_k`` and reuses the base solve's frozen chord
     factor ``hinv``; the start error is the bootstrap fluctuation itself
     (~1/sqrt(N_k)), so ~5-8 passes reach the ~1e-12 floor.  A replicate

@@ -1,4 +1,4 @@
-"""Analytically solvable test systems (reference /root/reference/pymbar/testsystems/)."""
+"""Analytically solvable test systems (reference pymbar 4.x testsystems/)."""
 
 __all__ = [
     "timeseries",

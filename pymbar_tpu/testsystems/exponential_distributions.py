@@ -1,7 +1,7 @@
 """Exponential-distribution test case with analytic ground truth.
 
 Capability parity with
-/root/reference/pymbar/testsystems/exponential_distributions.py:4-246.
+pymbar 4.x testsystems/exponential_distributions.py:4-246.
 U_k(x) = rate_k * x on x >= 0; f_k = ln(rate_k).
 """
 

@@ -1,6 +1,6 @@
 """Forward/reverse Gaussian work distributions obeying Crooks.
 
-Capability parity with /root/reference/pymbar/testsystems/gaussian_work.py:4-105.
+Capability parity with pymbar 4.x testsystems/gaussian_work.py:4-105.
 mu_F and DeltaF are linked by the Zwanzig relation: DeltaF = mu_F - sigma_F^2/2.
 """
 

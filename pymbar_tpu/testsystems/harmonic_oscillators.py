@@ -1,7 +1,7 @@
 """Harmonic-oscillator test case with analytic ground truth.
 
 Capability parity with
-/root/reference/pymbar/testsystems/harmonic_oscillators.py:4-261.
+pymbar 4.x testsystems/harmonic_oscillators.py:4-261.
 U_k(x) = (K_k/2)(x - O_k)^2; the dimensionless free energy is
 f_k = -(1/2) ln[2 pi / (beta K_k)].
 """

@@ -1,6 +1,6 @@
 """AR(1) correlated-timeseries generator with known correlation time.
 
-Capability parity with /root/reference/pymbar/testsystems/timeseries.py:4-74
+Capability parity with pymbar 4.x testsystems/timeseries.py:4-74
 (Janke Eq. 41).  The reference evaluates the AR(1) recursion in a Python
 loop; here it runs through scipy.signal.lfilter (the exact same recursion,
 evaluated in compiled code).

@@ -1,7 +1,7 @@
 """Timeseries decorrelation tools: statistical inefficiency, autocorrelation,
 equilibration detection, subsampling.
 
-Capability parity with /root/reference/pymbar/timeseries.py:83-970.
+Capability parity with pymbar 4.x timeseries.py:83-970.
 
 TPU-first notes
 ---------------
@@ -110,7 +110,7 @@ def statistical_inefficiency(A_n, B_n=None, fast=False, mintime=3, fft=False, me
 
     if method == "direct":
         # Reference-parity path: the same operations in the same order as
-        # /root/reference/pymbar/timeseries.py:155-203, so results are
+        # pymbar 4.x timeseries.py:155-203, so results are
         # bit-identical, with the early exit saving the unvisited lags.
         sigma2_AB = (dA_n * dB_n).mean()
         if sigma2_AB == 0:

@@ -1,7 +1,7 @@
 """Host-side utilities: layout converters, validation, stable logsumexp.
 
 Capability parity with the reference ``pymbar/utils.py`` (see
-/root/reference/pymbar/utils.py:41-114 for the layout converters,
+pymbar 4.x utils.py:41-114 for the layout converters,
 :279-337 for logsumexp semantics, :340-393 for the normalization check and
 :401-422 for the exception taxonomy).  These are host-facing helpers; the
 device compute path lives in :mod:`pymbar_tpu.ops`.

@@ -1,4 +1,4 @@
-"""Shared test fixtures/factories (reference /root/reference/pymbar/utils_for_testing.py:62-84)."""
+"""Shared test fixtures/factories (reference pymbar 4.x utils_for_testing.py:62-84)."""
 
 import numpy as np
 from numpy.testing import (
