@@ -810,6 +810,54 @@ def _sharded_gram(u_hi_s, N_k32, f32_val, mesh, axis_name="n", c_s=None):
     return jnp.sum(g_parts, axis=0), jnp.sum(c_parts, axis=0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "maxiter", "n_chunk"),
+)
+def _sharded_polish_while_dd_batch(
+    u_hi_s, u_lo_s, C_s, N_k64, f0, hinv, tol, gamma,
+    mesh, axis_name, maxiter, n_chunk,
+):
+    """All replicates batched on the n-sharded planes: the mesh twin of
+    :func:`pymbar_tpu.solvers_large._polish_while_dd_batch`.
+
+    The whole two-phase loop runs INSIDE one shard_map: each device streams
+    its local plane shard through the shared-dd-exp + matmul factorization
+    (:func:`solvers_large._batched_wsum_S` — denominators are fully local
+    because K is unsharded on the 1-D mesh, and zero-count pad columns
+    contribute exactly 0), and one psum per iteration merges the (B, K)
+    weight sums.  C_s is the (B, N_padded) f32 counts matrix sharded along
+    'n'."""
+    from pymbar_tpu.solvers_large import _batch_loop_from_S_fn
+
+    def _local(uh, ul, C, N_k64, f0, hinv, tol, gamma):
+        from pymbar_tpu.solvers_large import _batched_wsum_S
+
+        def S_fn(g0h, g0l, R, exact):
+            S_part = _batched_wsum_S(uh, ul, g0h, g0l, R, C, n_chunk, exact)
+            return jax.lax.psum(S_part, axis_name)
+
+        return _batch_loop_from_S_fn(
+            S_fn, C.shape[0], N_k64, f0, hinv, tol, gamma, maxiter
+        )
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name), P(None, axis_name), P(None, axis_name),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        u_hi_s, u_lo_s, C_s,
+        _replicated(N_k64, mesh), _replicated(f0, mesh),
+        _replicated(hinv, mesh), _replicated(tol, mesh),
+        _replicated(gamma, mesh),
+    )
+
+
 def sharded_bootstrap_polish_dd(
     u_hi_s,
     u_lo_s,
@@ -823,22 +871,30 @@ def sharded_bootstrap_polish_dd(
     maxiter=16,
     fast_exp=True,
     verbose=False,
+    mode="batched",
 ):
     """Solve B bootstrap replicates on the resident n-sharded dd planes.
 
     The mesh twin of :func:`pymbar_tpu.solvers_large.bootstrap_polish_dd`:
-    each replicate is a counts-weighted chord-Newton polish streaming the
-    SAME sharded planes (its (N,) count vector shards along 'n' with
-    zero-count pad columns), warm-started at the base solution with the
-    base solve's frozen factor.  No resampled matrix and no cross-device
-    sample movement ever happens — the only extra communication is the
-    (N/D,)-per-device count upload and the usual K-sized partial merges.
+    by default all replicates advance together (``mode="batched"`` — one
+    shared dd-exp stream of each device's shard + f64 MXU matmuls per
+    iteration, :func:`_sharded_polish_while_dd_batch`); ``mode="serial"``
+    polishes replicates one at a time through the counts-weighted wsum
+    kernel (kept as the fallback and differential twin).  Either way no
+    resampled matrix and no cross-device sample movement ever happens — the
+    only extra communication is the per-device count-shard upload and the
+    usual K-sized partial merges.
     Reference semantics: pymbar 4.x mbar.py:417-449.
     Returns (f_boots (B, K) float64, n_fail).
     """
     import logging as _logging
 
-    from pymbar_tpu.solvers_large import _newton_factor, polish_to_host
+    from pymbar_tpu.solvers_large import (
+        _batch_chunk_width,
+        _batch_group_size,
+        _newton_factor,
+        polish_to_host,
+    )
 
     logger = _logging.getLogger(__name__)
     counts = np.asarray(counts)
@@ -853,6 +909,56 @@ def sharded_bootstrap_polish_dd(
     tol_j = jnp.asarray(tol, jnp.float64)
     gamma_j = jnp.asarray(1.0, jnp.float64)
     sharding = NamedSharding(mesh, P(axis_name))
+
+    if mode == "batched":
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        hinv_j = jnp.asarray(hinv, jnp.float64)
+        n_chunk = _batch_chunk_width(K, max(1, Np // max(n_dev, 1)))
+        group = _batch_group_size(B, Np)
+        c_shard = NamedSharding(mesh, P(None, axis_name))
+        f_boots = np.zeros((B, K))
+        retry = []
+        for s in range(0, B, group):
+            e = min(B, s + group)
+            Bg = e - s
+            C = np.zeros((group if B > group else Bg, Np), np.float32)
+            C[:Bg, :N] = counts[s:e]
+            if Bg < C.shape[0]:
+                C[Bg:] = C[0]  # pad rows reuse the jit cache; discarded
+            C_s = jax.device_put(C, c_shard)
+            F, _iters, _deltas, conv, _floor = _sharded_polish_while_dd_batch(
+                u_hi_s, u_lo_s, C_s, N_k64, f0, hinv_j, tol_j, gamma_j,
+                mesh, axis_name, maxiter, n_chunk,
+            )
+            f_boots[s:e] = np.asarray(F)[:Bg]
+            conv = np.asarray(conv)[:Bg]
+            retry.extend(s + i for i in np.nonzero(~conv)[0])
+            if verbose:
+                logger.info(
+                    f"Calculated {e:d}/{B:d} bootstrap samples (batched)"
+                )
+        n_fail = 0
+        for b in retry:
+            c_pad = np.zeros(Np, dtype=np.float32)
+            c_pad[:N] = counts[b]
+            c_s = jax.device_put(c_pad, sharding)
+            f_b = jnp.asarray(f_boots[b])
+            gram_b, colsum_b = _sharded_gram(
+                u_hi_s, N_k32, f_b.astype(jnp.float32), mesh, axis_name,
+                c_s=c_s,
+            )
+            hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
+            f_b, _it, _g, _d, converged, _floor = polish_to_host(
+                _sharded_polish_while_dd_w(
+                    u_hi_s, u_lo_s, c_s, N_k64, f_b, hinv_b, logN, tol_j,
+                    gamma_j, mesh, axis_name, maxiter, bool(fast_exp),
+                )
+            )
+            if not converged:
+                n_fail += 1
+            f_b = np.asarray(f_b)
+            f_boots[b] = f_b - f_b[0]
+        return f_boots, n_fail
 
     f_boots = np.zeros((B, K))
     n_fail = 0

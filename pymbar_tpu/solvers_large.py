@@ -37,7 +37,7 @@ import numpy as np
 from pymbar_tpu.config import on_tpu
 from pymbar_tpu.ops.doubledouble import dd_from_f64, dd_to_f64
 from pymbar_tpu.ops.mbar_core import gram_f32_acc64
-from pymbar_tpu.ops.pallas_kernels import wsum_dd, wsum_dd_ref
+from pymbar_tpu.ops.pallas_kernels import _exp_terms, wsum_dd, wsum_dd_ref
 from pymbar_tpu.solvers import _adaptive_while
 
 logger = logging.getLogger(__name__)
@@ -237,6 +237,213 @@ def _polish_while_dd_w(
     )
 
 
+def _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact):
+    """One sample chunk's contribution to every replicate's weight sum.
+
+    The batched factorization: with T1_kn = exp((g0_k - u_kn) - m_n) the
+    dd-exp terms at the BASE point g0 and r_bk = exp(f_bk - f_base,k) the
+    per-replicate ratio, replicate b's weights are exactly
+    W_bnk = r_bk T1_kn / sum_j r_bj T1_jn — the per-column stabilizer m_n
+    cancels, so the expensive dd exp is computed ONCE and shared by every
+    replicate, and the per-replicate work collapses to two (B, K) x (K, nc)
+    matmuls on the MXU.  ``exact`` selects f64 matmuls (true-f64 accurate
+    on TPU via XLA emulation — whole-S error measured 2e-14 — but ~11x the
+    f32 MXU cost) vs f32 HIGHEST matmuls on the hi plane only (~3e-7
+    relative in S, which bounds the fast phase's convergence floor).
+    Returns the (B, K) partial sum_n C_bn T1_kn / den_bn (the caller
+    scales by r_bk).
+    """
+    m = jnp.max(g0h[:, None] - uh_c, axis=0, keepdims=True)  # (1, nc) f32
+    th, tl = _exp_terms(uh_c, ul_c, g0h[:, None], g0l[:, None], m)
+    # Both matmuls express their contraction through dot_general dimension
+    # numbers instead of materializing T.T: a transposed operand makes XLA
+    # relayout-copy the full 4 GB input planes into column-major temps
+    # (observed OOM at the 8 GB bench config), while contracting dim 1 of
+    # the chunk keeps every operand in the planes' native row-major layout.
+    dim_bk_kn = (((1,), (0,)), ((), ()))  # (B,K) x (K,nc) -> (B,nc)
+    dim_bn_kn = (((1,), (1,)), ((), ()))  # (B,nc) x (K,nc) -> (B,K)
+    if exact:
+        T = th.astype(jnp.float64) + tl.astype(jnp.float64)  # (K, nc)
+        den = jax.lax.dot_general(R, T, dim_bk_kn)  # (B, nc)
+        W = C_c.astype(jnp.float64) / den
+        return jax.lax.dot_general(W, T, dim_bn_kn)  # (B, K)
+    R32 = R.astype(jnp.float32)
+    den = jax.lax.dot_general(
+        R32, th, dim_bk_kn, precision=jax.lax.Precision.HIGHEST
+    )
+    W = C_c / den
+    S32 = jax.lax.dot_general(
+        W, th, dim_bn_kn, precision=jax.lax.Precision.HIGHEST
+    )
+    return S32.astype(jnp.float64)
+
+
+def _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact):
+    """S_bk = r_bk sum_n c_bn T1_kn / den_bn for all B replicates: one
+    streamed dd-exp pass over the planes + two matmuls per chunk.
+    Sentinel pad columns (sharded layouts) need no masking here: their
+    counts are zero, so they contribute exactly 0/den = 0."""
+    K, N = u_hi.shape
+    B = C.shape[0]
+    S = jnp.zeros((B, K), jnp.float64)
+    n_main = N // n_chunk
+    if n_main:
+
+        def body(i, acc):
+            s = i * n_chunk
+            uh_c = jax.lax.dynamic_slice(u_hi, (0, s), (K, n_chunk))
+            ul_c = jax.lax.dynamic_slice(u_lo, (0, s), (K, n_chunk))
+            C_c = jax.lax.dynamic_slice(C, (0, s), (B, n_chunk))
+            return acc + _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact)
+
+        S = jax.lax.fori_loop(0, n_main, body, S)
+    rem = N - n_main * n_chunk
+    if rem:
+        s = n_main * n_chunk
+        S = S + _batched_boot_chunk(
+            u_hi[:, s:], u_lo[:, s:], g0h, g0l, R, C[:, s:], exact
+        )
+    return R * S
+
+
+# Fast-phase (f32-matmul) stop: a hair above the measured ~3e-7 S-error
+# floor; below this the exact phase takes over.
+_BATCH_FAST_TOL = 1.0e-6
+_BATCH_FAST_MAXITER = 10
+
+
+def _batch_loop_from_S_fn(S_fn, B, N_k64, f0, hinv, tol, gamma, maxiter):
+    """The two-phase batched chord-Newton loop over an abstract weight-sum
+    pass ``S_fn(g0h, g0l, R, exact) -> (B, K) f64`` — shared by the
+    single-device (:func:`_polish_while_dd_batch`) and n-sharded
+    (:func:`pymbar_tpu.parallel.sharding._sharded_polish_while_dd_batch`)
+    batched bootstrap engines.
+
+    Steps are the same frozen-factor chord-Newton as :func:`_polish_loop`,
+    vectorized over the replicate axis, in two while_loops: a FAST phase
+    whose matmuls run on the f32 MXU (floor ~3e-7, ~8% of the exact pass's
+    matmul cost) takes the replicates from their ~1/sqrt(N_k) start
+    displacement to ~1e-6, then the EXACT phase (f64 matmuls) contracts
+    ~3e-3/iteration to the dd noise floor — ~3 exact passes instead of ~6.
+    Per-replicate stop rules (converged / stalled / tiny / predictive
+    noise-floor / non-finite) freeze a replicate's iterate while the rest
+    keep polishing.  Returns (F (B, K), iters (B,), deltas (maxiter, B)
+    nan-padded from the exact phase, converged (B,), at_floor (B,)).
+    """
+    g0h, g0l = dd_from_f64(f0 + jnp.log(N_k64))
+    F0 = jnp.broadcast_to(f0[None, :], (B, f0.shape[0])).astype(jnp.float64)
+
+    def step(F, exact):
+        R = jnp.exp(F - f0[None, :])
+        S = S_fn(g0h, g0l, R, exact)
+        g = S - N_k64[None, :]
+        dx1 = g[:, 1:] @ hinv.T  # (B, K-1); hinv is the f64 chord inverse
+        F_new = F - gamma * jnp.pad(dx1, ((0, 0), (1, 0)))
+        F_new = F_new - F_new[:, :1]
+        div = jnp.maximum(jnp.abs(F_new[:, 1:]), 1.0)
+        d = jnp.max(jnp.abs(F_new[:, 1:] - F[:, 1:]) / div, axis=1)  # (B,)
+        return F_new, d
+
+    # ---- fast phase: iterate all replicates to the f32-matmul floor.
+    def fast_cond(carry):
+        it, _F, prev_d = carry
+        return jnp.logical_and(
+            it < _BATCH_FAST_MAXITER,
+            jnp.logical_not(jnp.all(prev_d < _BATCH_FAST_TOL)),
+        )
+
+    def fast_body(carry):
+        it, F, prev_d = carry
+        F_new, d = step(F, exact=False)
+        # a replicate at/below the floor stops moving (keeps its iterate);
+        # non-finite steps also freeze (the exact phase restarts cleanly
+        # from the base point for those rows)
+        keep = jnp.isfinite(d) & (prev_d >= _BATCH_FAST_TOL)
+        F = jnp.where(keep[:, None], F_new, F)
+        prev_d = jnp.where(jnp.isfinite(d), d, prev_d)
+        return it + 1, F, prev_d
+
+    _it_f, F, _prev = jax.lax.while_loop(
+        fast_cond, fast_body, (jnp.int32(0), F0, jnp.full((B,), jnp.inf))
+    )
+    # any non-finite fast iterate restarts the exact phase from the base
+    F = jnp.where(jnp.all(jnp.isfinite(F), axis=1)[:, None], F, F0)
+
+    # ---- exact phase: f64 matmuls, per-replicate certification.
+    def cond(carry):
+        it, _F, _prev, _deltas, done, _floor, _iters = carry
+        return jnp.logical_and(it < maxiter, ~jnp.all(done))
+
+    def body(carry):
+        it, F, prev_d, deltas, done, floor, iters = carry
+        F_new, d = step(F, exact=True)
+
+        bad = ~jnp.isfinite(d)
+        conv = d < tol
+        stalled = (iters >= 1) & (d < 1.0e-9) & (d > 0.3 * prev_d)
+        tiny = d < 3.0e-13
+        pred = jnp.where(jnp.isfinite(prev_d), d * d / prev_d, jnp.inf)
+        at_floor = ~conv & (stalled | tiny | (pred < 1.0e-14))
+        live = ~done
+
+        deltas = deltas.at[it].set(jnp.where(live, d, jnp.nan))
+        F = jnp.where((live & ~bad)[:, None], F_new, F)
+        prev_d = jnp.where(live, d, prev_d)
+        iters = iters + live.astype(jnp.int32)
+        done = done | conv | at_floor | bad
+        return it + 1, F, prev_d, deltas, done, floor | (live & at_floor), iters
+
+    carry0 = (
+        jnp.int32(0),
+        F,
+        jnp.full((B,), jnp.inf, jnp.float64),
+        jnp.full((maxiter, B), jnp.nan, jnp.float64),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+    )
+    _it, F, prev_d, deltas, done, floor, iters = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    # A replicate is converged unless it exhausted maxiter or its last
+    # delta was non-finite (matching _polish_loop's contract per row).
+    finite = jnp.isfinite(prev_d)
+    return F, iters, deltas, done & finite, floor
+
+
+@partial(jax.jit, static_argnames=("maxiter", "n_chunk"))
+def _polish_while_dd_batch(
+    u_hi, u_lo, C, N_k64, f0, hinv, tol, gamma, maxiter, n_chunk
+):
+    """ALL bootstrap replicates polished together on one device: the
+    two-phase batched loop (:func:`_batch_loop_from_S_fn`) over the
+    single-device streamed pass :func:`_batched_wsum_S`.  Each iteration
+    advances every live replicate with ONE shared dd-exp stream of the
+    resident planes — the serial per-replicate formulation pays that
+    stream B times."""
+
+    def S_fn(g0h, g0l, R, exact):
+        return _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact)
+
+    return _batch_loop_from_S_fn(
+        S_fn, C.shape[0], N_k64, f0, hinv, tol, gamma, maxiter
+    )
+
+
+def _batch_chunk_width(K, N):
+    """Sample-chunk width for the batched replicate pass: ~2^24 f64 chunk
+    elements (a ~128 MB T1 buffer at K=1024; the f64-emulated dot_general
+    adds an ~4x f32 scratch on TPU) keeps the matmuls MXU-sized without
+    stressing HBM next to the resident planes."""
+    return int(max(1024, min(N, (1 << 24) // max(K, 1))))
+
+
+def _batch_group_size(B, N):
+    """Replicates per batched dispatch: the device counts matrix is
+    group x N f32, budgeted at ~1 GB next to the resident planes."""
+    return int(max(1, min(B, max(8, (1 << 28) // max(N, 1)))))
+
+
 def bootstrap_polish_dd(
     u_hi,
     u_lo,
@@ -249,6 +456,7 @@ def bootstrap_polish_dd(
     gamma=1.0,
     fast_exp=True,
     verbose=False,
+    mode="batched",
 ):
     """Solve B bootstrap replicates as counts-weighted dd chord-Newton polishes.
 
@@ -268,7 +476,13 @@ def bootstrap_polish_dd(
     its Gram-plus-factorization cost.)
 
     Parameters: ``counts`` is (B, N) integer-valued resample multiplicities
-    (rows sum to N, per-state block sums to N_k).  Returns
+    (rows sum to N, per-state block sums to N_k).  ``mode`` selects the
+    replicate engine: ``"batched"`` (default — every iteration advances all
+    replicates from ONE shared dd-exp stream of the planes,
+    :func:`_polish_while_dd_batch`; replicates that fail to converge fall
+    back to the serial per-replicate kernel with a fresh factor) or
+    ``"serial"`` (the per-replicate counts-weighted wsum loop, kept as the
+    fallback and as the differential twin for tests).  Returns
     (f_boots (B, K) float64, n_fail).
     """
     u_hi = jnp.asarray(u_hi)
@@ -276,6 +490,7 @@ def bootstrap_polish_dd(
     counts = np.asarray(counts)
     B = counts.shape[0]
     K = u_hi.shape[0]
+    N = u_hi.shape[1]
     N_k64 = jnp.asarray(np.asarray(N_k), dtype=jnp.float64)
     logN = jnp.log(N_k64)
     f0 = jnp.asarray(np.asarray(f_k), jnp.float64)
@@ -283,6 +498,58 @@ def bootstrap_polish_dd(
     tol_j = jnp.asarray(tol, jnp.float64)
     gamma_j = jnp.asarray(gamma, jnp.float64)
     use_pallas = on_tpu()
+
+    if mode == "batched":
+        hinv_j = jnp.asarray(hinv, jnp.float64)
+        n_chunk = _batch_chunk_width(K, N)
+        # Group replicates so the device counts matrix stays ~<=1 GB next
+        # to the resident planes; one compilation per distinct group shape.
+        group = _batch_group_size(B, N)
+        f_boots = np.zeros((B, K))
+        retry = []
+        for s in range(0, B, group):
+            e = min(B, s + group)
+            Bg = e - s
+            C = np.asarray(counts[s:e], np.float32)
+            if Bg < group and B > group:
+                # Pad the tail group to the common shape (reuses the jit
+                # cache) with copies of its first row; results discarded.
+                C = np.concatenate(
+                    [C, np.repeat(C[:1], group - Bg, axis=0)], axis=0
+                )
+            F, iters, _deltas, conv, _floor = _polish_while_dd_batch(
+                u_hi, u_lo, jnp.asarray(C), N_k64, f0, hinv_j,
+                tol_j, gamma_j, maxiter, n_chunk,
+            )
+            F = np.asarray(F)[:Bg]
+            conv = np.asarray(conv)[:Bg]
+            f_boots[s:e] = F
+            retry.extend(s + i for i in np.nonzero(~conv)[0])
+            if verbose:
+                logger.info(
+                    f"Calculated {e:d}/{B:d} bootstrap samples (batched)"
+                )
+        n_fail = 0
+        for b in retry:
+            # Rare: the frozen base factor failed to contract this
+            # replicate.  Fresh counts-weighted factor at its current
+            # iterate + one serial dd polish.
+            c = jnp.asarray(counts[b], jnp.float32)
+            f_b = jnp.asarray(f_boots[b])
+            gram_b, colsum_b = gram_f32_acc64(
+                u_hi, N_k64.astype(jnp.float32), f_b.astype(jnp.float32), c
+            )
+            hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
+            f_b, _it, _g, _d, converged, _fl = polish_to_host(
+                _polish_while_dd_w(
+                    u_hi, u_lo, c, N_k64, f_b, hinv_b, logN, tol_j, gamma_j,
+                    maxiter, use_pallas, bool(fast_exp),
+                )
+            )
+            if not converged:
+                n_fail += 1
+            f_boots[b] = np.asarray(f_b)
+        return f_boots, n_fail
 
     f_boots = np.zeros((B, K))
     n_fail = 0

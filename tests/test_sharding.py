@@ -513,6 +513,47 @@ def test_sharded_weighted_wsum_matches_resample(problem):
         assert_allclose(S_sh, S_true, rtol=1e-12, atol=0)
 
 
+def test_sharded_bootstrap_batched_matches_serial(boot_problem):
+    """The batched mesh bootstrap (one shared dd-exp stream per shard +
+    psum-merged matmul weight sums) must reproduce the serial per-replicate
+    sharded polish to the dd noise floor — same counts, same planes, same
+    frozen factor."""
+    from pymbar_tpu.parallel.sharding import (
+        shard_dd_planes,
+        sharded_bootstrap_polish_dd,
+        sharded_solve_mbar_dd,
+    )
+    from pymbar_tpu.solvers_large import host_split_planes
+
+    u_kn, N_k = boot_problem
+    uh, ul = host_split_planes(u_kn)
+    mesh = default_mesh(4)
+    f_k, info = sharded_solve_mbar_dd(uh, ul, N_k, mesh=mesh, return_state=True)
+    uh_s, ul_s = info["planes"]
+
+    rng = np.random.default_rng(21)
+    N = u_kn.shape[1]
+    B = 5
+    counts = np.zeros((B, N), np.float32)
+    start = 0
+    for nk in N_k:
+        nk = int(nk)
+        for b in range(B):
+            idx = start + rng.integers(nk, size=nk)
+            np.add.at(counts[b], idx, 1.0)
+        start += nk
+
+    fb_ser, nf_ser = sharded_bootstrap_polish_dd(
+        uh_s, ul_s, N_k, f_k, info["hinv"], counts, mesh, mode="serial"
+    )
+    fb_bat, nf_bat = sharded_bootstrap_polish_dd(
+        uh_s, ul_s, N_k, f_k, info["hinv"], counts, mesh, mode="batched"
+    )
+    assert nf_ser == 0 and nf_bat == 0
+    assert np.max(np.abs(fb_bat - fb_ser)) < 5e-11
+    assert np.max(np.abs(fb_bat - np.asarray(f_k)[None, :])) > 1e-3
+
+
 # ---------------------------------------------------------------------------
 # Memory-meaningful virtual-mesh gates (VERDICT r2 item 4): the dd sharded
 # paths at shapes where layout/padding/combine bugs actually surface

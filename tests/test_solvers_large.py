@@ -285,3 +285,72 @@ def test_wsum_big_single_read_interpret_matches_ref():
     Sc_ref = np.asarray(dd_to_f64(*wsum_dd_ref(uh, ul, gh, gl, c=c)))
     Sc_new = np.asarray(dd_to_f64(*wsum_dd(uh, ul, gh, gl, c=c, interpret=True)))
     assert np.max(np.abs(Sc_new - Sc_ref) / np.maximum(Sc_ref, 1e-30)) < 1e-10
+
+
+def _boot_counts(rng, N_k, B):
+    """Per-state block resample multiplicities, (B, sum N_k) float32."""
+    N_k = np.asarray(N_k, dtype=np.int64)
+    N = int(N_k.sum())
+    counts = np.zeros((B, N), np.float32)
+    for b in range(B):
+        start = 0
+        for nk in N_k:
+            idx = start + rng.integers(int(nk), size=int(nk))
+            np.add.at(counts[b], idx, 1.0)
+            start += int(nk)
+    return counts
+
+
+def test_bootstrap_batched_matches_serial(problem):
+    """The batched all-replicates polish (one shared dd-exp stream + f64
+    matmuls per iteration) must agree with the serial per-replicate
+    counts-weighted wsum loop to the dd noise floor: both resolve the same
+    counts-weighted MBAR fixed points on the same planes."""
+    from pymbar_tpu.solvers_large import bootstrap_polish_dd
+
+    u64, N_k = problem
+    uh, ul = dd_from_f64(u64)
+    f_k, info = solve_mbar_dd(uh, ul, N_k, tol=1e-12)
+    rng = np.random.default_rng(7)
+    counts = _boot_counts(rng, N_k, B=6)
+
+    fb_ser, nf_ser = bootstrap_polish_dd(
+        uh, ul, N_k, f_k, info["hinv"], counts, mode="serial"
+    )
+    fb_bat, nf_bat = bootstrap_polish_dd(
+        uh, ul, N_k, f_k, info["hinv"], counts, mode="batched"
+    )
+    assert nf_ser == 0 and nf_bat == 0
+    assert np.max(np.abs(fb_bat - fb_ser)) < 5e-11
+    # replicates really moved away from the base solution
+    assert np.max(np.abs(fb_bat - f_k[None, :])) > 1e-3
+
+
+def test_bootstrap_batched_group_split(problem):
+    """Grouped dispatch (group smaller than B, padded tail group) returns
+    the same replicates as one full-width group."""
+    from pymbar_tpu import solvers_large as sl
+
+    u64, N_k = problem
+    uh, ul = dd_from_f64(u64)
+    f_k, info = solve_mbar_dd(uh, ul, N_k, tol=1e-12)
+    rng = np.random.default_rng(8)
+    counts = _boot_counts(rng, N_k, B=5)
+
+    fb_one, _ = sl.bootstrap_polish_dd(
+        uh, ul, N_k, f_k, info["hinv"], counts, mode="batched"
+    )
+    # force group=2 -> groups [2, 2, 1-padded-to-2]
+    orig = sl._batch_chunk_width
+    try:
+        fb_grp = np.zeros_like(fb_one)
+        import unittest.mock as _mock
+
+        with _mock.patch.object(sl, "_batch_group_size", lambda B, N: 2):
+            fb_grp, nf = sl.bootstrap_polish_dd(
+                uh, ul, N_k, f_k, info["hinv"], counts, mode="batched"
+            )
+    finally:
+        sl._batch_chunk_width = orig
+    assert nf == 0
+    assert np.max(np.abs(fb_grp - fb_one)) < 1e-12
