@@ -44,16 +44,30 @@ def load_mbar_state(path):
     return state
 
 
-def resume_mbar(path, u_kn, **mbar_kwargs):
+def resume_mbar(path, u_kn, skip_solve=False, **mbar_kwargs):
     """Rebuild an MBAR object from a checkpoint, warm-started at the saved f_k.
 
-    The solve re-runs (it converges in a handful of iterations from the
-    saved point) so all derived state (Log_W_nk, bootstrap matrices if
-    re-requested) is consistent with the provided u_kn.
+    By default the solve re-runs (it converges in a handful of iterations
+    from the saved point) so all derived state (Log_W_nk, bootstrap matrices
+    if re-requested) is consistent with the provided u_kn.  With
+    ``skip_solve=True`` the saved f_k is trusted as-is and the object is
+    built through :meth:`pymbar_tpu.MBAR.from_solution` — no solver stage
+    runs and a device-resident ``u_kn`` is wrapped without a host
+    round-trip (bootstrap options cannot be combined with this).
     """
     from pymbar_tpu.mbar import MBAR
 
     state = load_mbar_state(path)
+    if skip_solve:
+        if mbar_kwargs.pop("n_bootstraps", 0):
+            raise ValueError(
+                "skip_solve=True cannot re-solve bootstrap replicates; "
+                "resume without skip_solve for bootstrap uncertainties."
+            )
+        return MBAR.from_solution(
+            u_kn, state["N_k"], state["f_k"],
+            x_kindices=state["x_kindices"], **mbar_kwargs,
+        )
     u_kn = np.asarray(u_kn)
     if u_kn.ndim == 2 and u_kn.shape[0] != int(state["K"]):
         raise ValueError(

@@ -984,6 +984,93 @@ class MBAR:
             logger.info(self.f_k)
             logger.info("MBAR initialization complete.")
 
+    @classmethod
+    def from_solution(
+        cls, u_kn, N_k, f_k, x_kindices=None, rseed=None, verbose=False
+    ):
+        """Construct an MBAR object around an ALREADY-CONVERGED solution.
+
+        The public warm-start front door: no solver stage runs — ``f_k``
+        is taken as the converged dimensionless free energies of
+        ``(u_kn, N_k)`` — and every ``compute_*`` surface then behaves
+        exactly as on a freshly solved object (pinned by
+        ``tests/test_mbar.py::test_from_solution_matches_fresh``).  Two
+        idiomatic uses:
+
+        * resuming from a checkpoint (:func:`pymbar_tpu.checkpoint` saves
+          ``f_k``) without paying even the warm-started re-solve;
+        * wrapping a solution produced by the lower-level solver engines
+          (e.g. :func:`pymbar_tpu.solvers_large.solve_mbar_dd` on
+          double-word planes) in the full estimator API.
+
+        Unlike ``__init__``, ``u_kn`` is stored AS GIVEN: a device-resident
+        ``jax.Array`` is not round-tripped through the host (at the GB
+        scale that transfer costs minutes on a tunneled TPU frontend), and
+        the streamed compute paths consume either representation.
+
+        Parameters
+        ----------
+        u_kn : np.ndarray or jax.Array, float, shape (K, N) or (K, K, N_max)
+            Reduced potentials, exactly as for ``__init__``.
+        N_k : np.ndarray, int, shape (K,)
+            Sample counts per state.
+        f_k : np.ndarray, float, shape (K,)
+            Converged dimensionless free energies for this problem (e.g. a
+            prior object's ``.f_k`` or a checkpoint's).  Re-normalized to
+            ``f_k[0] = 0`` as the solver would.
+        x_kindices : np.ndarray, int, shape (N,), optional
+            Origin state of each sample (defaults to contiguous blocks).
+        rseed : int, optional
+            Seed for the (unused-until-requested) resampling RNG.
+        verbose : bool, optional
+
+        Returns
+        -------
+        MBAR
+            A fully usable estimator with ``n_bootstraps = 0`` (bootstrap
+            uncertainties need the replicate solves — construct through
+            ``__init__`` for those).
+        """
+        self = cls.__new__(cls)
+        self.N_k = np.array(N_k, dtype=np.int64)
+        self.N = int(np.sum(self.N_k))
+
+        if len(np.shape(u_kn)) == 3:
+            self.K = np.shape(u_kn)[1]
+            u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+        K, N = np.shape(u_kn)
+        if self.N != N:
+            raise ParameterError(
+                "The sum of all N_k must equal the total number of samples "
+                "(length of second dimension of u_kn."
+            )
+        self.K = K
+        # Stored as given: device arrays stay on device (no host copy).
+        self.u_kn = (
+            u_kn if isinstance(u_kn, _jax.Array) else np.array(u_kn, np.float64)
+        )
+
+        f_k = np.array(f_k, dtype=np.float64)
+        if f_k.shape != (K,):
+            raise ParameterError(f"f_k must be a {K:d}-dimensional np array.")
+        self.f_k = f_k - f_k[0]
+
+        if x_kindices is not None:
+            self.x_kindices = np.array(x_kindices, dtype=np.int64)
+        else:
+            self.x_kindices = np.repeat(np.arange(K, dtype=np.int64), self.N_k)
+        self.verbose = verbose
+        if rseed is None:
+            rseed = np.random.randint(np.iinfo(np.int32).max)
+        self.rng = np.random.default_rng(rseed)
+        self.samestates = []
+        self.states_with_samples = np.where(self.N_k != 0)[0].astype(np.int64)
+        self.K_nonzero = self.states_with_samples.size
+        self.mesh = None
+        self.n_bootstraps = 0
+        self._Log_W_nk = None
+        return self
+
     def _bootstrap_solve_batched(self, stage, verbose):
         """Solve all bootstrap replicates batched under vmap (the shared
         machinery in solvers.batched_bootstrap_solve; reference per-replicate

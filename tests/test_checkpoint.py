@@ -62,3 +62,29 @@ def test_mbar_solvers_alias_module():
     m = MBAR(u_kn, N_K)
     g = np.asarray(mbar_solvers.mbar_gradient(u_kn, np.asarray(N_K, float), m.f_k))
     assert np.linalg.norm(g) < 1e-6
+
+
+def test_resume_skip_solve(tmp_path):
+    """skip_solve=True resumes through MBAR.from_solution: no solver stage,
+    same downstream results as the re-solving resume."""
+    import pytest
+
+    from pymbar_tpu import MBAR
+    from pymbar_tpu.checkpoint import resume_mbar, save_mbar
+    from pymbar_tpu.testsystems import HarmonicOscillatorsTestCase
+
+    tc = HarmonicOscillatorsTestCase(O_k=[0, 1, 2, 3], K_k=[1, 2, 4, 8])
+    _x, u_kn, _nk, _s = tc.sample([200, 150, 250, 100], mode="u_kn", seed=9)
+    N_k = np.array([200, 150, 250, 100])
+    m = MBAR(u_kn, N_k)
+    path = tmp_path / "ck.npz"
+    save_mbar(m, path)
+
+    warm = resume_mbar(path, u_kn, skip_solve=True)
+    np.testing.assert_array_equal(warm.f_k, m.f_k)
+    r0 = m.compute_free_energy_differences()
+    r1 = warm.compute_free_energy_differences()
+    np.testing.assert_allclose(r1["dDelta_f"], r0["dDelta_f"], rtol=0, atol=1e-14)
+
+    with pytest.raises(ValueError):
+        resume_mbar(path, u_kn, skip_solve=True, n_bootstraps=4)

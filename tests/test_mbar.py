@@ -827,3 +827,63 @@ def test_streamed_expectations_with_zero_observable(monkeypatch):
             r["stream"][field], r["host"][field], rtol=1e-9, atol=1e-11,
             err_msg=f"expectations.{field} streamed != materialized (zeros)",
         )
+
+
+def test_from_solution_matches_fresh():
+    """MBAR.from_solution (the warm-start constructor: no solver stage) must
+    reproduce a freshly solved object's results across the compute surfaces
+    — this is the pin that keeps warm-started objects (checkpoint resume,
+    bench.py's full-answer section) honest against constructor invariants."""
+    test = make_ho()
+    x_n, u_kn, N_k_out, s_n = test.sample([120, 220, 0, 180], mode="u_kn", seed=3)
+    N_k = np.array([120, 220, 0, 180])
+    fresh = MBAR(u_kn, N_k)
+    warm = MBAR.from_solution(u_kn, N_k, fresh.f_k)
+
+    np.testing.assert_array_equal(warm.f_k, fresh.f_k)
+    r_f = fresh.compute_free_energy_differences()
+    r_w = warm.compute_free_energy_differences()
+    np.testing.assert_allclose(r_w["Delta_f"], r_f["Delta_f"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(r_w["dDelta_f"], r_f["dDelta_f"], rtol=0, atol=1e-14)
+
+    e_f = fresh.compute_expectations(x_n)
+    e_w = warm.compute_expectations(x_n)
+    np.testing.assert_allclose(e_w["mu"], e_f["mu"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(e_w["sigma"], e_f["sigma"], rtol=0, atol=1e-14)
+
+    o_f = fresh.compute_overlap()
+    o_w = warm.compute_overlap()
+    np.testing.assert_allclose(o_w["matrix"], o_f["matrix"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(
+        warm.compute_effective_sample_number(),
+        fresh.compute_effective_sample_number(), rtol=0, atol=1e-12,
+    )
+
+    ent_f = fresh.compute_entropy_and_enthalpy()
+    ent_w = warm.compute_entropy_and_enthalpy()
+    np.testing.assert_allclose(ent_w["Delta_s"], ent_f["Delta_s"], rtol=0, atol=1e-14)
+
+    # theta through the production streamed route agrees too
+    np.testing.assert_allclose(
+        np.asarray(warm._compute_theta_streamed()),
+        np.asarray(fresh._compute_theta_streamed()), rtol=0, atol=1e-14,
+    )
+
+    # and a device-resident u_kn is stored without a host round-trip
+    import jax.numpy as jnp
+
+    u_dev = jnp.asarray(u_kn)
+    warm_dev = MBAR.from_solution(u_dev, N_k, fresh.f_k)
+    assert warm_dev.u_kn is u_dev
+    r_d = warm_dev.compute_free_energy_differences()
+    np.testing.assert_allclose(r_d["Delta_f"], r_f["Delta_f"], rtol=0, atol=1e-13)
+
+
+def test_from_solution_validates():
+    test = make_ho()
+    _x, u_kn, _nk, _s = test.sample([50, 60, 40, 30], mode="u_kn", seed=4)
+    N_k = np.array([50, 60, 40, 30])
+    with pytest.raises(ParameterError):
+        MBAR.from_solution(u_kn, N_k[:-1], np.zeros(4))
+    with pytest.raises(ParameterError):
+        MBAR.from_solution(u_kn, N_k, np.zeros(5))
