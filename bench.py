@@ -375,13 +375,14 @@ def tpu_solve():
     semantic_ops_ratio = wsum_ops_rate / vpu_peak_ops
     semantic_floor_pct = 100.0 * semantic_ops_ratio / 2.0
 
-    # Bootstrap replicate throughput at the 8 GB config: counts-weighted
-    # chord-Newton polishes on the resident planes (warm-started at f,
-    # base factor reused) — the production bootstrap path.
+    # Bootstrap replicate throughput at the 8 GB config through the batched
+    # engine (all replicates per iteration from ONE shared dd-exp stream of
+    # the resident planes + MXU matmuls; f32 fast phase, f64 certification)
+    # — the production bootstrap path.
     from pymbar_tpu.solvers_large import bootstrap_polish_dd
 
     rngb = np.random.RandomState(7)
-    B = 4
+    B = 64
     counts = np.zeros((B, N), np.float32)
     for b in range(B):
         r = rngb.randint(0, N_PER_STATE, size=N) + np.repeat(
@@ -389,8 +390,8 @@ def tpu_solve():
         )
         counts[b] = np.bincount(r, minlength=N)
     Nk_host = np.full(K, float(N_PER_STATE))
-    f_bb, _nf = bootstrap_polish_dd(  # warm-up / compile
-        u_hi, u_lo, Nk_host, f, info["hinv"], counts[:1]
+    f_bb, _nf = bootstrap_polish_dd(  # warm-up / compile (same group shape)
+        u_hi, u_lo, Nk_host, f, info["hinv"], counts
     )
     t0 = time.time()
     f_boots, n_fail = bootstrap_polish_dd(
@@ -436,14 +437,11 @@ def tpu_solve():
     # config, both on the asserted no-NxK streamed paths.
     from pymbar_tpu.mbar import MBAR as _MBAR
 
-    m = _MBAR.__new__(_MBAR)
-    m.u_kn = u64
-    m.N_k = np.full(K, N_PER_STATE, dtype=np.int64)
-    m.K, m.N = K, N
-    m.f_k = np.asarray(f)
-    m.samestates = []
-    m.n_bootstraps = 0
-    m.verbose = False
+    # The public warm-start constructor: wraps the device-resident matrix
+    # and the converged f without re-solving or host round-trips, with the
+    # full constructor invariants (pinned equal to a fresh solve by
+    # tests/test_mbar.py::test_from_solution_matches_fresh).
+    m = _MBAR.from_solution(u64, np.full(K, N_PER_STATE, np.int64), np.asarray(f))
 
     # svd-ew Theta through the PRODUCTION route (_compute_theta_streamed):
     # one streamed Gram pass + the device lowrank Eq. D4/D5 algebra.  (An
@@ -504,6 +502,7 @@ def tpu_solve():
 
     sigma_rel = sigma_parity_check(jax, jnp)
     k4096 = k4096_slice(jax, jnp)
+    fes_d = fes_slice(jax, jnp)
 
     return dict(
         solve_s=solve_s,
@@ -541,6 +540,7 @@ def tpu_solve():
         overlap_s=round(overlap_s, 3),
         neff_s=round(neff_s, 3),
         **k4096,
+        **fes_d,
     )
 
 
@@ -650,6 +650,119 @@ def k4096_slice(jax, jnp):
         k4096_gnorm_per_sample=info["gnorm"] / NPK4,
         k4096_delta_f_rmse_vs_analytic=rmse,
         k4096_wsum_gb_s=round(K4 * N4 * 8 / dd_pass / 1e9, 1),
+    )
+
+
+def fes_slice(jax, jnp):
+    """FES on the TPU at the GB-scale umbrella config (VERDICT r3 item 3):
+    K=64 harmonic windows on a 1-D quadratic base FES, N = 64 x 16384 ~ 1e6
+    samples, 100 bins — the scaled analog of the reference's
+    umbrella-sampling example (pymbar 4.x examples/umbrella-sampling-fes).
+    Times generate_fes + get_fes for the histogram and KDE estimators and
+    one ML spline fit, all through the public FES class (the log_w_n pass
+    and the augmented-Theta histogram uncertainty ride the streamed paths —
+    no N x K weight matrix is materialized)."""
+    import time
+
+    from pymbar_tpu import FES
+
+    BETA, K0, Ku = 1.0, 20.0, 100.0
+    KW, NPW = 64, 16384
+    N = KW * NPW
+    rng = np.random.RandomState(23)
+    centers = np.linspace(-3.0, 3.0, KW) * 0.2
+    sigma = 1.0 / (K0 + Ku)
+    # product of base (K0, at 0) and umbrella (Ku, at center) Gaussians
+    mu_i = sigma * (Ku * centers)
+    x_n = (
+        mu_i[:, None] + np.sqrt(sigma) * rng.standard_normal((KW, NPW))
+    ).reshape(-1)
+    u_n = BETA * (K0 / 2.0) * x_n**2
+    u_kn = u_n[None, :] + BETA * (Ku / 2.0) * (x_n[None, :] - centers[:, None]) ** 2
+    N_k = np.full(KW, NPW, dtype=np.int64)
+
+    t0 = time.time()
+    fes = FES(u_kn, N_k)
+    fes_mbar_s = time.time() - t0
+
+    nbins = 100
+    bin_edges = np.linspace(x_n.min() - 1e-6, x_n.max() + 1e-6, nbins + 1)
+    bin_centers = 0.5 * (bin_edges[1:] + bin_edges[:-1])
+
+    def run_hist():
+        fes.generate_fes(
+            u_n, x_n, fes_type="histogram",
+            histogram_parameters={"bin_edges": bin_edges},
+        )
+        return fes.get_fes(
+            bin_centers, reference_point="from-lowest",
+            uncertainty_method="analytical",
+        )
+
+    r = run_hist()  # warm-up / compile
+    t0 = time.time()
+    r = run_hist()
+    fes_histogram_s = time.time() - t0
+    assert np.all(np.isfinite(r["f_i"])) and np.all(np.isfinite(r["df_i"][1:]))
+    # the estimated surface must recover the quadratic base FES
+    ref = BETA * (K0 / 2.0) * bin_centers**2
+    inner = (np.abs(bin_centers) < 0.5)
+    f_c = r["f_i"] - r["f_i"][inner].min()
+    hist_rmse = float(
+        np.sqrt(np.mean((f_c[inner] - (ref[inner] - ref[inner].min())) ** 2))
+    )
+
+    def run_kde():
+        fes.generate_fes(
+            u_n, x_n, fes_type="kde",
+            kde_parameters={"bandwidth": 0.5 * (bin_edges[1] - bin_edges[0])},
+        )
+        return fes.get_fes(bin_centers, reference_point="from-lowest")
+
+    r = run_kde()  # warm-up / compile
+    t0 = time.time()
+    r = run_kde()
+    fes_kde_s = time.time() - t0
+    assert np.all(np.isfinite(r["f_i"]))
+
+    def _bias(k):
+        return lambda x: BETA * (Ku / 2.0) * float(
+            np.dot(x - centers[k], x - centers[k])
+        )
+
+    spline_params = dict(
+        spline_weights="unbiasedstate",
+        nspline=6,
+        spline_initialize="explicit",
+        xinit=bin_centers,
+        yinit=ref - ref.min(),
+        xrange=[bin_edges[0], bin_edges[-1]],
+        fkbias=[_bias(k) for k in range(KW)],
+        kdegree=3,
+        optimization_algorithm="Newton-CG",
+        optimize_options={"disp": False, "tol": 1e-6},
+        objective="ml",
+        map_data=None,
+    )
+
+    def run_spline():
+        fes.generate_fes(
+            u_n, x_n, fes_type="spline", spline_parameters=spline_params
+        )
+        return fes.get_fes(bin_centers, reference_point="from-lowest")
+
+    r = run_spline()  # warm-up / compile
+    t0 = time.time()
+    r = run_spline()
+    fes_spline_s = time.time() - t0
+    assert np.all(np.isfinite(r["f_i"]))
+
+    return dict(
+        fes_mbar_s=round(fes_mbar_s, 3),
+        fes_histogram_s=round(fes_histogram_s, 3),
+        fes_kde_s=round(fes_kde_s, 3),
+        fes_spline_s=round(fes_spline_s, 3),
+        fes_hist_rmse_vs_analytic=round(hist_rmse, 5),
     )
 
 
@@ -774,6 +887,11 @@ def main():
                 k4096_gnorm_per_sample=result["k4096_gnorm_per_sample"],
                 k4096_delta_f_rmse_vs_analytic=result["k4096_delta_f_rmse_vs_analytic"],
                 k4096_wsum_gb_s=result["k4096_wsum_gb_s"],
+                fes_mbar_s=result["fes_mbar_s"],
+                fes_histogram_s=result["fes_histogram_s"],
+                fes_kde_s=result["fes_kde_s"],
+                fes_spline_s=result["fes_spline_s"],
+                fes_hist_rmse_vs_analytic=result["fes_hist_rmse_vs_analytic"],
                 baseline="reference pymbar jax-cpu, N/10 scaled x10",
             )
         )
