@@ -304,6 +304,15 @@ class FES:
                         0, N_k[k], size=N_k[k]
                     )
                     index += N_k[k]
+                    # Stream parity: the reference's (mis-indented)
+                    # bootstrap loop reconstructs an MBAR object after
+                    # every state's draw, and each construction consumes
+                    # one rseed scalar from the global np.random stream
+                    # (pymbar 4.x mbar.py:274).  Discard the same draw so
+                    # a given seed yields the reference's exact replicate
+                    # index streams (pinned differentially by
+                    # test_fes_histogram_bootstrap_matches_reference).
+                    np.random.randint(np.iinfo(np.int32).max)
             from pymbar_tpu.config import on_tpu
 
             if on_tpu():
