@@ -314,6 +314,71 @@ def measure_wsum_ceiling(K_pad=1024, tile=512, steps=8192, reps=3, fast=True):
     return K_pad * tile * steps / best
 
 
+def measure_wsum_big_ceiling(K_pad=4096, tile=128, steps=2048, reps=3, fast=True):
+    """Attainable compute rate of the K>2048 single-read route, elements/s.
+
+    The same pinned-block construction as :func:`measure_wsum_ceiling`,
+    applied to the PRODUCTION ``_wsum_big_kernel`` body (in-kernel k-block
+    loops, T1 parked in VMEM scratch) at its production shapes (K_pad=4096,
+    tile 128, k_blk 512): every grid step's index map points at block
+    (0, 0) of a single 2 MB tile, so HBM is effectively free and the
+    measured rate is the kernel's compute ceiling.  The streaming K=4096
+    rate divided by this is the route's own roofline fraction — extending
+    the round-3 measured-ceiling argument beyond the one-tile kernel.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pymbar_tpu.ops import pallas_kernels as pk
+
+    kernel = functools.partial(
+        pk._wsum_big_kernel,
+        fast=fast,
+        k_blk=min(pk._WSUM_BIG_KBLK, K_pad),
+        weighted=False,
+    )
+    block_u = pl.BlockSpec((K_pad, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    block_g = pl.BlockSpec((K_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(uh, ul, gh, gl):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=(steps,),
+                in_specs=[block_u, block_u, block_g, block_g],
+                out_specs=[block_g, block_g],
+                out_shape=[
+                    jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((K_pad, 1), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((K_pad, tile), jnp.float32),
+                    pltpu.VMEM((K_pad, tile), jnp.float32),
+                ],
+            )(uh, ul, gh, gl)
+
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    uh = jnp.asarray(rng.uniform(0.0, 50.0, (K_pad, tile)), jnp.float32)
+    ul = jnp.asarray(rng.uniform(-1e-7, 1e-7, (K_pad, tile)), jnp.float32)
+    gh = jnp.asarray(rng.uniform(-2.0, 2.0, (K_pad, 1)), jnp.float32)
+    gl = jnp.zeros((K_pad, 1), jnp.float32)
+    _fence(run(uh, ul, gh, gl))  # warm-up / compile, hard-synced
+    best = _np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(uh, ul, gh, gl)
+        _fence(out)
+        best = min(best, time.time() - t0)
+    return K_pad * tile * steps / best
+
+
 def tpu_solve():
     jax, jnp, gen_dd, gen_f64, N_k64, f_analytic = _setup()
 
@@ -576,10 +641,13 @@ def sigma_parity_check(jax, jnp):
 
 
 def k4096_slice(jax, jnp):
-    """BASELINE stress-K slice on one chip: K=4096 states (the wsum kernel's
-    single-chip ceiling, tile 128), N = 2^18 samples -> 8.6 GB of planes.
-    Reports kernel GB/s and a full dd solve with its gradient certificate;
-    the ICI-sharded N=1e7 version of this config is the multi-chip dryrun's
+    """BASELINE stress-K slice on one chip: K=4096 states (the single-read
+    _wsum_big route: in-kernel k-block loops, T1 in VMEM scratch, tile 128),
+    N = 4096 x 96 = 393216 samples -> 12.9 GB of planes at the HBM edge
+    (VERDICT r3 item 8: the BASELINE stress config's per-chip share).
+    Reports kernel GB/s, the route's OWN measured-compute roofline
+    fraction, and a full dd solve with its gradient certificate; the
+    ICI-sharded N=1e7 version of this config is the multi-chip dryrun's
     job (BASELINE.md stress config)."""
     import jax.numpy as jnp
 
@@ -588,7 +656,7 @@ def k4096_slice(jax, jnp):
     from pymbar_tpu.ops.pallas_kernels import wsum_dd
     from pymbar_tpu.solvers_large import solve_mbar_dd
 
-    K4, NPK4 = 4096, 64
+    K4, NPK4 = 4096, 96
     N4 = K4 * NPK4
     O = jnp.linspace(0.0, 5.0, K4, dtype=jnp.float64)
     Kf = jnp.linspace(1.0, 3.0, K4, dtype=jnp.float64)
@@ -643,6 +711,13 @@ def k4096_slice(jax, jnp):
     dd_pass = (time.time() - t0) / 3
     del uh, ul, out
 
+    # The route's own roofline: the identical _wsum_big_kernel body with
+    # pinned-block index maps (HBM effectively free) is its compute
+    # ceiling; the streaming rate against it closes the measured-ceiling
+    # argument for the K>2048 route (VERDICT r3 item 2b).
+    big_ceiling = measure_wsum_big_ceiling()  # elements/s
+    k4096_roofline = 100.0 * (K4 * N4 / dd_pass) / big_ceiling
+
     rmse = float(np.sqrt(np.mean((np.asarray(f) - f_true) ** 2)))
     return dict(
         k4096_solve_s=round(solve_s, 4),
@@ -650,6 +725,8 @@ def k4096_slice(jax, jnp):
         k4096_gnorm_per_sample=info["gnorm"] / NPK4,
         k4096_delta_f_rmse_vs_analytic=rmse,
         k4096_wsum_gb_s=round(K4 * N4 * 8 / dd_pass / 1e9, 1),
+        k4096_ceiling_gelem_s=round(big_ceiling / 1e9, 2),
+        k4096_roofline_pct=round(k4096_roofline, 1),
     )
 
 
@@ -887,6 +964,8 @@ def main():
                 k4096_gnorm_per_sample=result["k4096_gnorm_per_sample"],
                 k4096_delta_f_rmse_vs_analytic=result["k4096_delta_f_rmse_vs_analytic"],
                 k4096_wsum_gb_s=result["k4096_wsum_gb_s"],
+                k4096_ceiling_gelem_s=result["k4096_ceiling_gelem_s"],
+                k4096_roofline_pct=result["k4096_roofline_pct"],
                 fes_mbar_s=result["fes_mbar_s"],
                 fes_histogram_s=result["fes_histogram_s"],
                 fes_kde_s=result["fes_kde_s"],

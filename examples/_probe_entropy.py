@@ -1,0 +1,78 @@
+"""Phase-level timing probe for compute_entropy_and_enthalpy at the bench
+config (K=1024, N~1e6, device-resident f64 matrix).  Times pass A alone
+(return_theta=False) vs pass A+B, at several streaming chunk sizes, plus the
+all-states expectations call for comparison.  Run on the real TPU:
+    PYTHONPATH=/root/repo:/root/.axon_site python -u examples/_probe_entropy.py
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import bench as B
+
+
+def main():
+    jax, jnp, gen_dd, gen_f64, N_k64, f_analytic = B._setup()
+    from pymbar_tpu.mbar import MBAR as _MBAR
+    import pymbar_tpu.mbar as mbar_mod
+    from pymbar_tpu.solvers import _adaptive_while
+
+    key = jax.random.PRNGKey(20260816)
+    u64 = gen_f64(key)
+    jax.block_until_ready(u64)
+    print("planes resident", flush=True)
+
+    t0 = time.time()
+    f64_ref, *_ = _adaptive_while(
+        u64, N_k64, jnp.zeros(B.K, jnp.float64),
+        jnp.asarray(1.0, jnp.float64), jnp.asarray(1e-10, jnp.float64),
+        2000, 2, "chol",
+    )
+    f = np.asarray(f64_ref)
+    f = f - f[0]
+    print(f"solve {time.time()-t0:.1f}s", flush=True)
+
+    m = _MBAR.from_solution(u64, np.full(B.K, B.N_PER_STATE, np.int64), f)
+    K = B.K
+    state_map = np.zeros([2, K], int)
+    state_map[0, :] = np.arange(K)
+    state_map[1, :] = np.arange(K)
+
+    out = {}
+    for tag, chunk in (("256M", 256 * 2**20), ("1G", 1024 * 2**20)):
+        mbar_mod._AUG_CHUNK_BYTES = chunk
+        # pass A only
+        r = m.compute_expectations_inner(u64, u64, state_map, return_theta=False)
+        t0 = time.time()
+        r = m.compute_expectations_inner(u64, u64, state_map, return_theta=False)
+        tA = time.time() - t0
+        # pass A + B
+        r = m.compute_expectations_inner(u64, u64, state_map, return_theta=True)
+        t0 = time.time()
+        r = m.compute_expectations_inner(u64, u64, state_map, return_theta=True)
+        tAB = time.time() - t0
+        out[f"passA_{tag}"] = round(tA, 3)
+        out[f"passB_{tag}"] = round(tAB - tA, 3)
+        print(json.dumps(out), flush=True)
+
+    mbar_mod._AUG_CHUNK_BYTES = 256 * 2**20
+    ee = m.compute_entropy_and_enthalpy()
+    t0 = time.time()
+    ee = m.compute_entropy_and_enthalpy()
+    out["entropy_full"] = round(time.time() - t0, 3)
+
+    # all-states expectations for comparison (device-scan path)
+    A_obs = np.asarray(u64[0])
+    ex = m.compute_expectations(A_obs)
+    t0 = time.time()
+    ex = m.compute_expectations(A_obs)
+    out["expectations_all_states"] = round(time.time() - t0, 3)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
