@@ -18,22 +18,25 @@ def main():
     jax, jnp, gen_dd, gen_f64, N_k64, f_analytic = B._setup()
     from pymbar_tpu.mbar import MBAR as _MBAR
     import pymbar_tpu.mbar as mbar_mod
-    from pymbar_tpu.solvers import _adaptive_while
+
+    from pymbar_tpu.solvers_large import solve_mbar_dd
 
     key = jax.random.PRNGKey(20260816)
-    u64 = gen_f64(key)
-    jax.block_until_ready(u64)
-    print("planes resident", flush=True)
-
-    t0 = time.time()
-    f64_ref, *_ = _adaptive_while(
-        u64, N_k64, jnp.zeros(B.K, jnp.float64),
-        jnp.asarray(1.0, jnp.float64), jnp.asarray(1e-10, jnp.float64),
-        2000, 2, "chol",
-    )
-    f = np.asarray(f64_ref)
+    # Converged f via the fast dd solve on the split planes (pass B's
+    # weight-normalization check needs a real solution, not f_analytic),
+    # then free the planes and regenerate the same problem in f64.
+    u_hi, u_lo = gen_dd(key)
+    f, _info = solve_mbar_dd(u_hi, u_lo, np.full(B.K, float(B.N_PER_STATE)), tol=1e-12)
+    f = np.asarray(f)
     f = f - f[0]
-    print(f"solve {time.time()-t0:.1f}s", flush=True)
+    del u_hi, u_lo
+    print("solved", flush=True)
+    u64 = gen_f64(key)
+    # NOT B._fence: reshape(-1) of an 8.4 GB tiled array materializes a
+    # copy (OOM next to the resident matrix); a [0, 0] slice readback is
+    # the same hard sync without the copy.
+    float(u64[0, 0])
+    print("planes resident", flush=True)
 
     m = _MBAR.from_solution(u64, np.full(B.K, B.N_PER_STATE, np.int64), f)
     K = B.K

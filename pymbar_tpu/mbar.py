@@ -166,7 +166,7 @@ def _idx_mode(idx, nrows):
 
 
 def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
-                sws_mode="gather", lidx_mode="gather"):
+                sws_mode="gather", lidx_mode="gather", a_mode="log"):
     """Pass-A chunk math: per-extra-state and per-observable partial
     (max, rescaled sum) pairs over one n-chunk.
 
@@ -175,6 +175,17 @@ def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
     bootstrap replicate's reduction (evaluated at the replicate's f via
     ``fs``); no resampled matrix is gathered.  ``sws_mode``/``lidx_mode``
     statically specialize the row selections (see :func:`_row_select`).
+
+    ``a_mode`` selects the observable-slab form: ``"log"`` takes ``la_c``
+    as the (S, nc) LOG observable rows (the general layout);
+    ``"diagmul"`` takes ``la_c`` as the RAW shifted observable slab
+    A = u - a_shift >= 0 of the aliased diag layout (entropy/enthalpy's
+    u_kn-as-observable, lidx = identity) — there
+    exp(log A + a_l - m) == A * exp(a_l - m) EXACTLY, so the observable
+    terms reuse the extra-state exp slab under the SHARED per-row shift
+    m_l: no log slab, no second exp slab, no second max pass.  The
+    rescaled sums stay representable (A is bounded, s_s <= max(A) s_l);
+    only the (m, s) flash pair differs by harmless rescaling.
     """
     from pymbar_tpu.ops.mbar_core import _logden_direct
 
@@ -184,10 +195,14 @@ def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
     m_l = jnp.max(a_l, axis=1)
     m_l_safe = jnp.where(jnp.isfinite(m_l), m_l, 0.0)
     e_l = jnp.exp(a_l - m_l_safe[:, None])
-    a_s = la_c + _row_select(a_l, lidx, lidx_mode, la_c.shape[0])  # (S, nc)
-    m_s = jnp.max(a_s, axis=1)
-    m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
-    e_s = jnp.exp(a_s - m_s_safe[:, None])
+    if a_mode == "diagmul":
+        m_s = m_l
+        e_s = la_c * e_l  # (S, nc) == (K, nc): lidx is identity
+    else:
+        a_s = la_c + _row_select(a_l, lidx, lidx_mode, la_c.shape[0])  # (S, nc)
+        m_s = jnp.max(a_s, axis=1)
+        m_s_safe = jnp.where(jnp.isfinite(m_s), m_s, 0.0)
+        e_s = jnp.exp(a_s - m_s_safe[:, None])
     if c is not None:
         e_l = e_l * c[None, :]
         e_s = e_s * c[None, :]
@@ -196,19 +211,19 @@ def _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
     return m_l, s_l, m_s, s_s
 
 
-@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode"))
+@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode", "a_mode"))
 def _aug_pass_a(u_c, ul_c, la_c, sws, Ns, fs, lidx, c=None,
-                sws_mode="gather", lidx_mode="gather"):
+                sws_mode="gather", lidx_mode="gather", a_mode="log"):
     """One chunk of the pass-A reductions (host-chunked streaming form).
     Module-level jit: closures created per call would recompile the chunk
     kernel on every public expectations call."""
     return _aug_a_body(u_c, ul_c, la_c, sws, Ns, fs, lidx, c,
-                       sws_mode, lidx_mode)
+                       sws_mode, lidx_mode, a_mode)
 
 
-@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode"))
+@_functools.partial(_jax.jit, static_argnames=("sws_mode", "lidx_mode", "a_mode"))
 def _aug_pass_a_multi(u_c, ul_c, la_c, sws, Ns, fs_all, lidx, c_all,
-                      sws_mode="gather", lidx_mode="gather"):
+                      sws_mode="gather", lidx_mode="gather", a_mode="log"):
     """Pass-A reductions for B bootstrap replicates over ONE uploaded chunk.
 
     ``fs_all`` is (B, Ks) per-replicate sampled-state free energies and
@@ -229,7 +244,7 @@ def _aug_pass_a_multi(u_c, ul_c, la_c, sws, Ns, fs_all, lidx, c_all,
         m_l, s_l, m_s, s_s = out
         ml, sl, ms, ss = _aug_a_body(
             u_c, ul_c, la_c, sws, Ns, fs_all[b], lidx,
-            c_all[b].astype(u_c.dtype), sws_mode, lidx_mode,
+            c_all[b].astype(u_c.dtype), sws_mode, lidx_mode, a_mode,
         )
         return (
             m_l.at[b].set(ml), s_l.at[b].set(sl),
@@ -260,18 +275,24 @@ def _aug_combine_dev(m, s, m_c, s_c):
 
 @_functools.partial(
     _jax.jit,
-    static_argnames=("num_chunks", "alias", "sws_mode", "lidx_mode", "iofs_mode"),
+    static_argnames=(
+        "num_chunks", "alias", "sws_mode", "lidx_mode", "iofs_mode", "a_mode",
+    ),
 )
 def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
                      num_chunks, c=None, alias=False,
                      sws_mode="gather", lidx_mode="gather",
-                     iofs_mode="gather"):
+                     iofs_mode="gather", a_mode="log", a_shift=None):
     """Pass A as ONE device dispatch: lax.fori_loop over n-chunks of a
     device-resident u_kn.  Used when u_kn is already a jax array and the
     observable-row matrix is small (n_obs rows; the (S, nc) expansion via
     ``i_of_s`` happens per chunk on device) — the host-chunked form pays
     several frontend round-trips per chunk, which dominates wall time on
-    tunneled/remote TPU frontends."""
+    tunneled/remote TPU frontends.  ``a_mode='diagmul'`` is the aliased
+    diag layout (entropy's u_kn-as-observable): each chunk's raw shifted
+    observable slab is rebuilt on device as ``sl_u - a_shift[:, None]``
+    and consumed multiplicatively (see :func:`_aug_a_body`); ``logA_rows``
+    is then an unused 0-row placeholder."""
     K_rows, N = u_kn.shape
     NL = u_ln.shape[0]
     S = lidx.shape[0]
@@ -283,7 +304,7 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
         m_l, s_l, m_s, s_s = carry
         ml_c, sl_c2, ms_c, ss_c = _aug_a_body(
             sl_u, sl_ul, sl_la, sws, Ns, fs, lidx, sl_c,
-            sws_mode, lidx_mode,
+            sws_mode, lidx_mode, a_mode,
         )
         m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c2)
         m_s, s_s = _aug_combine_dev(m_s, s_s, ms_c, ss_c)
@@ -295,10 +316,13 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
             sl_u if alias
             else _jax.lax.dynamic_slice(u_ln, (0, ci * nc), (NL, nc))
         )
-        la = _jax.lax.dynamic_slice(
-            logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
-        )
-        sl_la = _row_select(la, i_of_s, iofs_mode, S)  # (S, nc)
+        if a_mode == "diagmul":
+            sl_la = sl_u - a_shift[:, None]
+        else:
+            la = _jax.lax.dynamic_slice(
+                logA_rows, (0, ci * nc), (logA_rows.shape[0], nc)
+            )
+            sl_la = _row_select(la, i_of_s, iofs_mode, S)  # (S, nc)
         sl_c = (
             None if c is None else _jax.lax.dynamic_slice(c, (ci * nc,), (nc,))
         )
@@ -311,8 +335,13 @@ def _aug_pass_a_scan(u_kn, u_ln, logA_rows, i_of_s, sws, Ns, fs, lidx,
     carry = _jax.lax.fori_loop(0, num_chunks, body, init)
     rem = N - nc * num_chunks
     if rem > 0:
-        la = _row_select(logA_rows[:, nc * num_chunks :], i_of_s, iofs_mode, S)
         tail_u = u_kn[:, nc * num_chunks :]
+        if a_mode == "diagmul":
+            la = tail_u - a_shift[:, None]
+        else:
+            la = _row_select(
+                logA_rows[:, nc * num_chunks :], i_of_s, iofs_mode, S
+            )
         carry = fold(
             carry,
             tail_u,
@@ -430,13 +459,16 @@ def _aug_pass_b_struct(u_c, la_row, base, sws, Ns, fs, f_k, Nk, sentinel,
 
 @_functools.partial(
     _jax.jit,
-    static_argnames=("K", "compute_dtype", "num_chunks", "sws_mode"),
+    static_argnames=("K", "compute_dtype", "num_chunks", "sws_mode", "a_mode"),
 )
 def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
                             K, compute_dtype, num_chunks,
-                            sws_mode="gather"):
+                            sws_mode="gather", a_mode="logrow", a_shift=None):
     """Structured pass B as ONE device dispatch (fori_loop over n-chunks
-    of a device-resident u_kn) — the aliased twin of _aug_pass_b_scan."""
+    of a device-resident u_kn) — the aliased twin of _aug_pass_b_scan.
+    ``a_mode='diag'`` (entropy's u_kn-as-observable layout) rebuilds each
+    chunk's raw shifted observable slab on device as
+    ``sl_u - a_shift[:, None]``; ``logA_row`` is then a 0-size placeholder."""
     K_rows, N = u_kn.shape
     nc = max(1, N // num_chunks)
     num_chunks = N // nc
@@ -445,7 +477,7 @@ def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
         M0, M1, M2, c0, cA, cnt, fidx, fval = acc
         m0, m1, m2, c0_c, cA_c, cnt_c, gidx, val = _aug_b_struct_body(
             sl_u, sl_la, base, sws, Ns, fs, f_k, Nk, sentinel,
-            compute_dtype, sws_mode,
+            compute_dtype, sws_mode, a_mode,
         )
         take = gidx < fidx
         return (
@@ -456,7 +488,10 @@ def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
 
     def body(ci, acc):
         sl_u = _jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
-        sl_la = _jax.lax.dynamic_slice(logA_row, (ci * nc,), (nc,))
+        if a_mode == "diag":
+            sl_la = sl_u - a_shift[:, None]
+        else:
+            sl_la = _jax.lax.dynamic_slice(logA_row, (ci * nc,), (nc,))
         return fold(acc, sl_u, sl_la, (ci * nc).astype(jnp.int64))
 
     init = (
@@ -467,8 +502,11 @@ def _aug_pass_b_scan_struct(u_kn, logA_row, sws, Ns, fs, f_k, Nk, sentinel,
     acc = _jax.lax.fori_loop(0, num_chunks, body, init)
     rem = N - nc * num_chunks
     if rem > 0:
+        tail_u = u_kn[:, nc * num_chunks :]
         acc = fold(
-            acc, u_kn[:, nc * num_chunks :], logA_row[nc * num_chunks :],
+            acc, tail_u,
+            tail_u - a_shift[:, None] if a_mode == "diag"
+            else logA_row[nc * num_chunks :],
             jnp.asarray(nc * num_chunks, jnp.int64),
         )
     return acc
@@ -1718,26 +1756,30 @@ class MBAR:
                 logA = np.log(A_n) if S > 0 else np.zeros((0, N))
 
         # When u_kn already lives on device and the extra-state/observable
-        # row matrices are small, the whole pass runs as ONE fori_loop
-        # dispatch (the host-chunked form costs several frontend round
-        # trips per chunk — which dominates wall time on tunneled/remote
-        # TPU frontends).  Larger NL / n_obs (e.g. entropy's u_kn-as-
-        # observable) keep the host-chunked path: their row matrices are
-        # u_kn-sized (with a_alias they alias the resident matrix and the
-        # chunks are device slices — no uploads either way).
+        # row matrices are small — or alias the resident matrix itself —
+        # the whole pass runs as ONE fori_loop dispatch (the host-chunked
+        # form costs several frontend round trips per chunk — which
+        # dominates wall time on tunneled/remote TPU frontends).  The
+        # aliased diag layout (entropy's u_kn-as-observable) rides the
+        # scans too: its observable chunks rebuild on device from the SAME
+        # resident buffer (a_mode='diagmul'/'diag').  Only a large
+        # non-aliased observable matrix keeps the host-chunked path.
         device_scan = (
             isinstance(self.u_kn, _jax.Array)
             and (NL <= 4 or u_ln_alias)
-            and not a_alias
-            and logA.shape[0] <= 4
+            and (a_alias or logA.shape[0] <= 4)
         )
         if device_scan:
             # with the alias this is the SAME buffer as u_kn (no copy);
             # the scan kernels then skip the u_ln slice entirely
             u_ln_dev = self.u_kn if u_ln_alias else jnp.asarray(u_ln)
-            logA_dev = jnp.asarray(logA)
+            logA_dev = (
+                jnp.zeros((0, N)) if a_alias else jnp.asarray(logA)
+            )
             iofs_dev = jnp.asarray(i_of_s)
-            iofs_mode = _idx_mode(i_of_s, logA.shape[0])
+            iofs_mode = (
+                "identity" if a_alias else _idx_mode(i_of_s, logA.shape[0])
+            )
             # Scan chunks shrink below the streaming chunk size: inside ONE
             # dispatch the per-chunk latency is gone, and the loop-body
             # temporaries (several (K + NL + S, nc) emulated-f64 slabs)
@@ -1760,6 +1802,8 @@ class MBAR:
                     Ns_dev, fs_values, lidx_dev, scan_div * len(starts),
                     c_dev, alias=u_ln_alias, sws_mode=sws_mode,
                     lidx_mode=lidx_mode, iofs_mode=iofs_mode,
+                    a_mode="diagmul" if a_alias else "log",
+                    a_shift=shift_dev if a_alias else None,
                 )
                 m_l, s_l = np.asarray(ml), np.asarray(sl)
                 m_s, s_s = np.asarray(ms), np.asarray(ss)
@@ -1791,9 +1835,11 @@ class MBAR:
                         u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
                     )
                     if a_alias:
-                        # diag layout (i_of_s = arange): the observable
-                        # chunk is the resident chunk, shifted, on device
-                        la_dev_c = jnp.log(u_dev_c - shift_dev[:, None])
+                        # diag layout (i_of_s = arange): the RAW shifted
+                        # observable slab from the resident chunk, on
+                        # device — consumed multiplicatively (a_mode=
+                        # "diagmul": no log slab, no second exp slab)
+                        la_dev_c = u_dev_c - shift_dev[:, None]
                     else:
                         la_dev_c = jnp.asarray(
                             logA[i_of_s, c0:c1].reshape(S, c1 - c0)
@@ -1804,6 +1850,7 @@ class MBAR:
                         la_dev_c,
                         sws_dev, Ns_dev, fs_values, lidx_dev, c_c,
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
+                        a_mode="diagmul" if a_alias else "log",
                     )
                     if dev_acc:
                         m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c)
@@ -1873,7 +1920,7 @@ class MBAR:
                         u_dev_c if u_ln_alias else jnp.asarray(u_ln[:, c0:c1])
                     )
                     if a_alias:
-                        la_dev_c = jnp.log(u_dev_c - shift_dev[:, None])
+                        la_dev_c = u_dev_c - shift_dev[:, None]
                     else:
                         la_dev_c = jnp.asarray(
                             logA[i_of_s, c0:c1].reshape(S, c1 - c0)
@@ -1885,6 +1932,7 @@ class MBAR:
                         sws_dev, Ns_dev, fs_all, lidx_dev,
                         jnp.asarray(counts_all[:, c0:c1]),
                         sws_mode=sws_mode, lidx_mode=lidx_mode,
+                        a_mode="diagmul" if a_alias else "log",
                     )
                     if dev_acc:
                         m_l, s_l = _aug_combine_dev(m_l, s_l, ml_c, sl_c)
@@ -1949,11 +1997,18 @@ class MBAR:
         dev_gram = on_tpu()
         if row0_b or diag_b:
             la_row = logA[0] if row0_b else None
-            if row0_b and device_scan:
+            if (row0_b or a_alias) and device_scan:
+                # diag_b with device_scan implies a_alias (a non-aliased
+                # diag observable matrix is K rows, which blocks the scan
+                # router): the observable slab rebuilds on device per chunk.
                 out = _aug_pass_b_scan_struct(
-                    self.u_kn, jnp.asarray(la_row), sws_dev, Ns_dev,
+                    self.u_kn,
+                    jnp.zeros(0) if a_alias else jnp.asarray(la_row),
+                    sws_dev, Ns_dev,
                     fs_dev, f_dev, Nk_dev, sentinel, K, compute_dtype,
                     scan_div * len(starts), sws_mode=sws_mode,
+                    a_mode="diag" if a_alias else "logrow",
+                    a_shift=shift_dev if a_alias else None,
                 )
                 if dev_gram:
                     M0, M1, M2 = out[0], out[1], out[2]
