@@ -643,8 +643,11 @@ def sigma_parity_check(jax, jnp):
 def k4096_slice(jax, jnp):
     """BASELINE stress-K slice on one chip: K=4096 states (the single-read
     _wsum_big route: in-kernel k-block loops, T1 in VMEM scratch, tile 128),
-    N = 4096 x 96 = 393216 samples -> 12.9 GB of planes at the HBM edge
-    (VERDICT r3 item 8: the BASELINE stress config's per-chip share).
+    N = 4096 x 80 = 327680 samples -> 10.7 GB of planes, the measured
+    single-chip HBM edge for the FULL solve (VERDICT r3 item 8): at
+    4096 x 96 (12.9 GB) the coarse warm start's subsample plane plus its
+    adaptive-phase logsumexp slabs (~1 GB each) exhaust the 16 GB —
+    measured, not estimated; the wsum streaming itself would fit.
     Reports kernel GB/s, the route's OWN measured-compute roofline
     fraction, and a full dd solve with its gradient certificate; the
     ICI-sharded N=1e7 version of this config is the multi-chip dryrun's
@@ -656,7 +659,7 @@ def k4096_slice(jax, jnp):
     from pymbar_tpu.ops.pallas_kernels import wsum_dd
     from pymbar_tpu.solvers_large import solve_mbar_dd
 
-    K4, NPK4 = 4096, 96
+    K4, NPK4 = 4096, 80
     N4 = K4 * NPK4
     O = jnp.linspace(0.0, 5.0, K4, dtype=jnp.float64)
     Kf = jnp.linspace(1.0, 3.0, K4, dtype=jnp.float64)

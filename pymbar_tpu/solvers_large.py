@@ -710,8 +710,13 @@ def solve_mbar_dd(
         if (N_k_host % stride == 0).all():
             # Every state block is stride-aligned: the subsample is a plain
             # strided slice (XLA copies it at near-memcpy rate; the general
-            # gather below runs ~3x slower on the 4 GB plane).
-            u_sub = u_hi[:, ::stride]
+            # gather below runs ~3x slower on the 4 GB plane).  Explicit
+            # lax.slice with strides: jnp's `[:, ::stride]` basic indexing
+            # falls through to a full gather in current JAX, whose scratch
+            # OOMs next to HBM-edge planes (observed at 12.9 GB, K=4096).
+            u_sub = jax.lax.slice(
+                u_hi, (0, 0), u_hi.shape, (1, stride)
+            )
             N_k_sub = N_k_host // stride
         else:
             idx, N_k_sub = _strided_subsample(N_k_host, stride)
