@@ -41,6 +41,119 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["FES"]
 
+# Above this size a host u_kn is pushed to the device ONCE at FES
+# construction (on TPU): the solve, the per-sample log-weight reductions
+# and the augmented-covariance pass all consume the same resident matrix,
+# where the host flow would re-upload it per call — on a tunneled frontend
+# (~3-25 MB/s) each avoided sweep is minutes.
+_FES_DEV_BYTES = 128 * 2**20
+
+# lazily-built module-level jit for the streamed histogram-augmented Gram
+_HIST_GRAM_JIT = None
+
+
+def _is_dev(x):
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
+def _hist_aug_gram_scan(
+    u_kn, u_n, flabel, f_bins, sws, Ns, fs, f_k, Nk,
+    K, nbins, compute_dtype, num_chunks, sws_mode="gather",
+):
+    """(K+nbins)² Gram of the histogram-augmented weight matrix, streamed.
+
+    The bin pseudo-state columns are DISJOINT selections of the target-state
+    weights — B[n, l] = exp(log w_n + f_l)·1[flabel_n = l] ∈ (0, 1] — so the
+    augmented Gram collapses to the base K×K Gram, a K×nbins cross block
+    (one MXU matmul per chunk against the one-hot bin indicator) and a
+    DIAGONAL bin block (a segment sum of B²); the reference materializes the
+    N×(K+nbins) matrix instead (pymbar 4.x fes.py:1382-1415).  One fori_loop
+    device dispatch over n-chunks of the resident u_kn; no N×m array, no
+    host transfer beyond the (N,) inputs.  Returns (gram (m, m) f64 device,
+    colsum (m,) f64).
+    """
+    global _HIST_GRAM_JIT
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pymbar_tpu.ops.mbar_core import _logden_direct
+
+    _HI = jax.lax.Precision.HIGHEST
+
+    if _HIST_GRAM_JIT is not None:
+        # one module-level jit cache: re-wrapping per call would recompile
+        return _HIST_GRAM_JIT(u_kn, u_n, flabel, f_bins, sws, Ns, fs, f_k,
+                              Nk, K, nbins, compute_dtype, num_chunks,
+                              sws_mode)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("K", "nbins", "compute_dtype", "num_chunks", "sws_mode"),
+    )
+    def run(u_kn, u_n, flabel, f_bins, sws, Ns, fs, f_k, Nk,
+            K, nbins, compute_dtype, num_chunks, sws_mode):
+        K_rows, N = u_kn.shape
+        nc = max(1, N // num_chunks)
+        n_main = N // nc
+        lidx = jnp.arange(nbins)[:, None]
+        fb_c = f_bins.astype(compute_dtype)
+
+        def chunk(u_c, un_c, fl_c):
+            u_s = u_c if sws_mode == "identity" else jnp.take(u_c, sws, axis=0)
+            ld = _logden_direct(u_s, Ns, fs)
+            W0 = jnp.exp((f_k[:, None] - u_c - ld[None, :]).astype(compute_dtype))
+            oneh = (fl_c[None, :] == lidx).astype(compute_dtype)  # (nbins, nc)
+            # exp(log w_n + f_l) <= 1 by construction (f_l normalizes its
+            # bin); out-of-grid samples (flabel -1, no bin column) are
+            # masked BEFORE the exp so its argument cannot overflow.
+            fl_val = jnp.dot(fb_c, oneh, precision=_HI)  # (nc,)
+            logB = (-un_c - ld).astype(compute_dtype) + fl_val
+            Bv = jnp.where(fl_c >= 0, jnp.exp(logB), jnp.asarray(0, compute_dtype))
+            Brows = oneh * Bv[None, :]
+            G00 = jnp.dot(W0, W0.T, preferred_element_type=compute_dtype, precision=_HI)
+            G0B = jnp.dot(W0, Brows.T, preferred_element_type=compute_dtype, precision=_HI)
+            gbb = jnp.sum(Brows * Bv[None, :], axis=1)
+            c0 = jnp.sum(W0, axis=1)
+            cB = jnp.sum(Brows, axis=1)
+            return (
+                G00.astype(jnp.float64), G0B.astype(jnp.float64),
+                gbb.astype(jnp.float64), c0.astype(jnp.float64),
+                cB.astype(jnp.float64),
+            )
+
+        def body(ci, acc):
+            u_c = jax.lax.dynamic_slice(u_kn, (0, ci * nc), (K_rows, nc))
+            un_c = jax.lax.dynamic_slice(u_n, (ci * nc,), (nc,))
+            fl_c = jax.lax.dynamic_slice(flabel, (ci * nc,), (nc,))
+            out = chunk(u_c, un_c, fl_c)
+            return tuple(a + o for a, o in zip(acc, out))
+
+        acc = (
+            jnp.zeros((K, K)), jnp.zeros((K, nbins)), jnp.zeros(nbins),
+            jnp.zeros(K), jnp.zeros(nbins),
+        )
+        acc = jax.lax.fori_loop(0, n_main, body, acc)
+        if N - n_main * nc:
+            s = n_main * nc
+            out = chunk(u_kn[:, s:], u_n[s:], flabel[s:])
+            acc = tuple(a + o for a, o in zip(acc, out))
+        G00, G0B, gbb, c0, cB = acc
+        top = jnp.concatenate([G00, G0B], axis=1)
+        bot = jnp.concatenate(
+            [G0B.T, jnp.zeros((nbins, nbins)).at[
+                jnp.arange(nbins), jnp.arange(nbins)].set(gbb)], axis=1
+        )
+        return jnp.concatenate([top, bot], axis=0), jnp.concatenate([c0, cB])
+
+    _HIST_GRAM_JIT = run
+    return run(u_kn, u_n, flabel, f_bins, sws, Ns, fs, f_k, Nk,
+               K, nbins, compute_dtype, num_chunks, sws_mode)
+
 
 class FES:
     """Free energy surface (profile) generation with statistical uncertainties.
@@ -95,9 +208,23 @@ class FES:
 
         if len(np.shape(u_kn)) == 3:
             self.K = np.shape(u_kn)[1]
-            u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+            u_kn = kln_to_kn(np.asarray(u_kn), N_k=self.N_k)
 
-        self.u_kn = np.array(u_kn, dtype=np.float64)
+        # TPU-first residency: a device u_kn is kept as-is, and a LARGE
+        # host u_kn is pushed to the device once here — the internal MBAR
+        # solve, the per-sample log-weight reductions and the augmented
+        # covariance pass then all stream the same resident matrix with no
+        # further transfers (see _FES_DEV_BYTES).
+        if _is_dev(u_kn):
+            self.u_kn = u_kn
+        else:
+            self.u_kn = np.array(u_kn, dtype=np.float64)
+            from pymbar_tpu.config import on_tpu
+
+            if on_tpu() and self.u_kn.nbytes >= _FES_DEV_BYTES:
+                import jax.numpy as jnp
+
+                self.u_kn = jnp.asarray(self.u_kn)
         K, N = np.shape(self.u_kn)
 
         if np.sum(self.N_k) != N:
@@ -112,7 +239,9 @@ class FES:
         self.timings = bool(timings)
 
         if mbar_options is None:
-            fes_mbar = pymbar_tpu.MBAR(u_kn, N_k)
+            # self.u_kn, not the raw argument: the (possibly device-
+            # resident) buffer is SHARED with the internal MBAR.
+            fes_mbar = pymbar_tpu.MBAR(self.u_kn, N_k)
         else:
             mbar_options = dict(mbar_options)
             for o in (
@@ -133,7 +262,7 @@ class FES:
                 mbar_options["initialize"] = "zeros"
 
             fes_mbar = pymbar_tpu.MBAR(
-                u_kn,
+                self.u_kn,
                 N_k,
                 maximum_iterations=mbar_options["maximum_iterations"],
                 relative_tolerance=mbar_options["relative_tolerance"],
@@ -378,15 +507,32 @@ class FES:
         """log w_n of the target state for a resampled replicate:
         -logsumexp_k[f_k + u_n - u_kn] weighted by N_k (the replicate-f_k
         generalization of MBAR._computeUnnormalizedLogWeights, reference
-        mbar.py:1919-1934) — one device reduction, no MBAR object."""
+        mbar.py:1919-1934) — one device reduction, no MBAR object.
+
+        With a device-resident u_kn the b=0 (identity) case reduces the
+        matrix in place and a bootstrap replicate gathers columns ON
+        DEVICE — no re-upload of the matrix either way."""
         import jax.numpy as jnp
 
         from pymbar_tpu.ops.logsumexp import logsumexp as dev_logsumexp
 
+        identity = (
+            len(indices) == self.N
+            and np.array_equal(indices, np.arange(self.N))
+        )
+        if _is_dev(self.u_kn):
+            u_sel = (
+                self.u_kn if identity
+                else jnp.take(self.u_kn, jnp.asarray(indices), axis=1)
+            )
+        else:
+            u_sel = jnp.asarray(
+                self.u_kn if identity else self.u_kn[:, indices]
+            )
         a = (
             jnp.asarray(f_b)[:, None]
             + jnp.asarray(self.u_n[indices])[None, :]
-            - jnp.asarray(self.u_kn[:, indices])
+            - u_sel
         )
         return np.asarray(
             -dev_logsumexp(
@@ -1115,10 +1261,50 @@ class FES:
 
     def _histogram_augmented_theta(self, histogram_data, nbins, bin_order):
         """Theta over [K states | nbins bin pseudo-states]: augment W_nk with
-        per-bin renormalized weights (reference fes.py:1382-1415)."""
+        per-bin renormalized weights (reference fes.py:1382-1415).
+
+        With a device-resident matrix the N×(K+nbins) augmented W never
+        exists: the bin columns are disjoint selections of the target-state
+        weights, so the augmented Gram streams in one device pass
+        (:func:`_hist_aug_gram_scan`) and Theta comes from the same low-rank
+        svd-ew identity the MBAR class uses (``_theta_svd_ew_lowrank``)."""
         K = self.mbar.K
         N_k = np.zeros(K + nbins, np.int64)
         N_k[0:K] = self.mbar.N_k
+
+        if _is_dev(self.mbar.u_kn):
+            import jax.numpy as jnp
+
+            from pymbar_tpu.config import on_tpu
+            from pymbar_tpu.mbar import _AUG_CHUNK_BYTES
+
+            # per-sample bin column (-1 = none), from the b=0 labeling
+            flabel = np.full(self.mbar.N, -1, dtype=np.int32)
+            slab = histogram_data["sample_label"]
+            for label in histogram_data["bin_label"].values():
+                if label in bin_order:
+                    flabel[slab == label] = bin_order[label]
+
+            sws = np.where(self.mbar.N_k > 0)[0]
+            sws_mode = "identity" if sws.size == K else "gather"
+            nc = max(1, int(_AUG_CHUNK_BYTES // (8 * max(K, 1))))
+            num_chunks = 4 * max(1, (self.mbar.N + nc - 1) // nc)
+            gram, _colsum = _hist_aug_gram_scan(
+                self.mbar.u_kn,
+                jnp.asarray(np.asarray(self.u_n, np.float64)),
+                jnp.asarray(flabel),
+                jnp.asarray(histogram_data["f"]),
+                jnp.asarray(sws),
+                jnp.asarray(self.mbar.N_k[sws], dtype=np.float64),
+                jnp.asarray(self.mbar.f_k[sws]),
+                jnp.asarray(self.mbar.f_k),
+                jnp.asarray(self.mbar.N_k, dtype=np.float64),
+                K, nbins,
+                jnp.float32 if on_tpu() else jnp.float64,
+                num_chunks, sws_mode,
+            )
+            return np.asarray(self.mbar._theta_svd_ew_lowrank(gram, N_k))
+
         W_nk = np.zeros([self.mbar.N, K + nbins], np.float64)
         W_nk[:, 0:K] = np.exp(self.mbar.Log_W_nk)
 

@@ -730,9 +730,15 @@ class MBAR:
         # Accept u_kln (K, L, N_max) layout and flatten (reference mbar.py:238-240).
         if len(np.shape(u_kn)) == 3:
             self.K = np.shape(u_kn)[1]
-            u_kn = kln_to_kn(u_kn, N_k=self.N_k)
+            u_kn = kln_to_kn(np.asarray(u_kn), N_k=self.N_k)
 
-        self.u_kn = np.array(u_kn, dtype=np.float64)
+        # A device-resident matrix is stored AS GIVEN (np.array would pull
+        # GBs back across a slow frontend); every solver and compute path
+        # consumes either representation — same contract as from_solution.
+        self.u_kn = (
+            u_kn if isinstance(u_kn, _jax.Array)
+            else np.array(u_kn, dtype=np.float64)
+        )
         K, N = np.shape(self.u_kn)
 
         if verbose:
@@ -824,8 +830,6 @@ class MBAR:
         # 8-chip solve.  An explicit solver_protocol overrides the mesh
         # routing for the solve itself (protocol semantics win), with a
         # warning.
-        import jax as _jax
-
         if mesh == "auto":
             from pymbar_tpu.parallel.sharding import default_mesh
 

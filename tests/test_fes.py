@@ -499,3 +499,100 @@ def test_spline_fgh_consistency(fes_1d):
         assert np.max(np.abs((gp - gm) / (2 * eps) - h[:, j])) < 1e-3 * np.max(
             np.abs(h)
         )
+
+
+def test_device_resident_fes_matches_host():
+    """A device-resident (jax.Array) u_kn through the whole FES flow —
+    construction, generate_fes, analytical histogram uncertainties via the
+    streamed augmented Gram (_hist_aug_gram_scan + the low-rank svd-ew
+    identity), KDE — must reproduce the host-matrix flow: the device path
+    materializes no N x (K + nbins) matrix anywhere."""
+    import jax.numpy as jnp
+
+    np.random.seed(11)
+    u_kn, u_n, x_n, f_k_analytical, fes_const, _bias = make_umbrella_data(
+        ndim=1, nsamples=300
+    )
+    numbrellas = u_kn.shape[0]
+    N_k = 300 * np.ones(numbrellas, int)
+    edges = [np.linspace(-0.75, 0.75, 11)]
+    centers = 0.5 * (edges[0][1:] + edges[0][:-1])
+    x1 = x_n[:, 0]
+
+    host = FES(u_kn, N_k)
+    host.generate_fes(
+        u_n, x1, fes_type="histogram", histogram_parameters={"bin_edges": edges}
+    )
+    r_host = host.get_fes(
+        centers, reference_point="from-lowest", uncertainty_method="analytical"
+    )
+
+    dev = FES(jnp.asarray(u_kn), N_k)
+    assert isinstance(dev.u_kn, jnp.ndarray) and isinstance(
+        dev.mbar.u_kn, jnp.ndarray
+    )
+    dev.generate_fes(
+        u_n, x1, fes_type="histogram", histogram_parameters={"bin_edges": edges}
+    )
+    r_dev = dev.get_fes(
+        centers, reference_point="from-lowest", uncertainty_method="analytical"
+    )
+
+    np.testing.assert_allclose(r_dev["f_i"], r_host["f_i"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(r_dev["df_i"], r_host["df_i"], rtol=0, atol=1e-8)
+
+    # all-differences rides the same augmented Theta
+    a_host = host.get_fes(
+        centers, reference_point="all-differences", uncertainty_method="analytical"
+    )
+    a_dev = dev.get_fes(
+        centers, reference_point="all-differences", uncertainty_method="analytical"
+    )
+    np.testing.assert_allclose(
+        a_dev["df_ij"], a_host["df_ij"], rtol=0, atol=1e-8
+    )
+
+    # KDE on the device object
+    dev.generate_fes(
+        u_n, x1, fes_type="kde", kde_parameters={"bandwidth": 0.15}
+    )
+    k_dev = dev.get_fes(centers, reference_point="from-lowest")
+    host.generate_fes(
+        u_n, x1, fes_type="kde", kde_parameters={"bandwidth": 0.15}
+    )
+    k_host = host.get_fes(centers, reference_point="from-lowest")
+    np.testing.assert_allclose(k_dev["f_i"], k_host["f_i"], rtol=0, atol=1e-9)
+
+
+def test_device_resident_fes_bootstrap_matches_host():
+    """Bootstrap df_i with a device-resident matrix (device column gathers
+    in _unnormalized_log_weights, per-replicate re-solves on the resident
+    buffer) must equal the host flow's on the same np.random stream."""
+    import jax.numpy as jnp
+
+    np.random.seed(13)
+    u_kn, u_n, x_n, _fa, _fc, _b = make_umbrella_data(ndim=1, nsamples=150)
+    N_k = 150 * np.ones(u_kn.shape[0], int)
+    edges = [np.linspace(-0.75, 0.75, 9)]
+    centers = 0.5 * (edges[0][1:] + edges[0][:-1])
+    x1 = x_n[:, 0]
+
+    host = FES(u_kn, N_k)
+    host.generate_fes(
+        u_n, x1, fes_type="histogram",
+        histogram_parameters={"bin_edges": edges}, n_bootstraps=4, seed=3,
+    )
+    r_host = host.get_fes(
+        centers, reference_point="from-lowest", uncertainty_method="bootstrap"
+    )
+
+    dev = FES(jnp.asarray(u_kn), N_k)
+    dev.generate_fes(
+        u_n, x1, fes_type="histogram",
+        histogram_parameters={"bin_edges": edges}, n_bootstraps=4, seed=3,
+    )
+    r_dev = dev.get_fes(
+        centers, reference_point="from-lowest", uncertainty_method="bootstrap"
+    )
+    np.testing.assert_allclose(r_dev["f_i"], r_host["f_i"], rtol=0, atol=1e-8)
+    np.testing.assert_allclose(r_dev["df_i"], r_host["df_i"], rtol=0, atol=1e-7)

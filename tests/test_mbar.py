@@ -887,3 +887,25 @@ def test_from_solution_validates():
         MBAR.from_solution(u_kn, N_k[:-1], np.zeros(4))
     with pytest.raises(ParameterError):
         MBAR.from_solution(u_kn, N_k, np.zeros(5))
+
+
+def test_init_with_device_matrix_matches_host():
+    """MBAR.__init__ stores a device-resident (jax.Array) u_kn AS GIVEN —
+    no host round-trip — and solves/computes identically to the
+    host-matrix construction (the from_solution contract, now at the
+    front door)."""
+    import jax.numpy as jnp
+
+    test = make_ho()
+    x_n, u_kn, _nk, _s = test.sample([250, 200, 0, 150], mode="u_kn", seed=12)
+    N_k = np.array([250, 200, 0, 150])
+    host = MBAR(u_kn, N_k)
+    dev = MBAR(jnp.asarray(u_kn), N_k)
+    assert isinstance(dev.u_kn, jnp.ndarray)
+    np.testing.assert_allclose(dev.f_k, host.f_k, rtol=0, atol=1e-10)
+    r_h = host.compute_free_energy_differences()
+    r_d = dev.compute_free_energy_differences()
+    np.testing.assert_allclose(r_d["dDelta_f"], r_h["dDelta_f"], rtol=0, atol=1e-10)
+    e_h = host.compute_expectations(x_n)
+    e_d = dev.compute_expectations(x_n)
+    np.testing.assert_allclose(e_d["sigma"], e_h["sigma"], rtol=0, atol=1e-10)
