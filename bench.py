@@ -314,7 +314,7 @@ def measure_wsum_ceiling(K_pad=1024, tile=512, steps=8192, reps=3, fast=True):
     return K_pad * tile * steps / best
 
 
-def measure_wsum_big_ceiling(K_pad=4096, tile=128, steps=2048, reps=3, fast=True):
+def measure_wsum_big_ceiling(K_pad=4096, tile=128, steps=16384, reps=3, fast=True):
     """Attainable compute rate of the K>2048 single-read route, elements/s.
 
     The same pinned-block construction as :func:`measure_wsum_ceiling`,
@@ -325,6 +325,10 @@ def measure_wsum_big_ceiling(K_pad=4096, tile=128, steps=2048, reps=3, fast=True
     measured rate is the kernel's compute ceiling.  The streaming K=4096
     rate divided by this is the route's own roofline fraction — extending
     the round-3 measured-ceiling argument beyond the one-tile kernel.
+    ``steps`` puts ~8.6e9 elements behind one dispatch: the tunneled
+    frontend's ~30-45 ms per-dispatch latency would otherwise understate
+    the ceiling (a 2048-step variant measured a "ceiling" BELOW the
+    streaming rate).
     """
     import functools
 
