@@ -596,3 +596,42 @@ def test_device_resident_fes_bootstrap_matches_host():
     )
     np.testing.assert_allclose(r_dev["f_i"], r_host["f_i"], rtol=0, atol=1e-8)
     np.testing.assert_allclose(r_dev["df_i"], r_host["df_i"], rtol=0, atol=1e-7)
+
+
+@pytest.mark.nightly
+def test_scaled_device_fes_histogram():
+    """Nightly: device-resident FES at a memory-meaningful scale
+    (K=48 windows x N=480k ~ 185 MB f64) — generate + analytical histogram
+    uncertainties through the streamed augmented Gram must stay finite on
+    populated bins and recover the quadratic base FES."""
+    import jax.numpy as jnp
+
+    K0, Ku, KW, NPW = 20.0, 100.0, 48, 10000
+    rng = np.random.RandomState(29)
+    centers = np.linspace(-3.0, 3.0, KW) * 0.2
+    sigma = 1.0 / (K0 + Ku)
+    mu_i = sigma * (Ku * centers)
+    x_n = (mu_i[:, None] + np.sqrt(sigma) * rng.standard_normal((KW, NPW))).reshape(-1)
+    u_n = (K0 / 2.0) * x_n**2
+    u_kn = jnp.asarray(
+        u_n[None, :] + (Ku / 2.0) * (x_n[None, :] - centers[:, None]) ** 2
+    )
+    N_k = np.full(KW, NPW, dtype=np.int64)
+
+    fes = FES(u_kn, N_k)
+    edges = [np.linspace(x_n.min() - 1e-6, x_n.max() + 1e-6, 81)]
+    cent = 0.5 * (edges[0][1:] + edges[0][:-1])
+    fes.generate_fes(
+        u_n, x_n, fes_type="histogram", histogram_parameters={"bin_edges": edges}
+    )
+    r = fes.get_fes(
+        cent, reference_point="from-lowest", uncertainty_method="analytical"
+    )
+    pop = np.histogram(x_n, edges[0])[0] > 0
+    assert np.all(np.isfinite(r["f_i"][pop]))
+    assert np.all(np.isfinite(r["df_i"][pop]))
+    ref = (K0 / 2.0) * cent**2
+    inner = (np.abs(cent) < 0.5) & pop
+    f_c = r["f_i"] - r["f_i"][inner].min()
+    rmse = np.sqrt(np.mean((f_c[inner] - (ref[inner] - ref[inner].min())) ** 2))
+    assert rmse < 0.05
