@@ -62,10 +62,24 @@ def validate_inputs(u_kn, N_k, f_k):
     """Host-side shape/dtype validation (reference mbar_solvers.py:174-203).
 
     Returns (u_kn, N_k, f_k) with N_k cast to float (it enters log-space
-    weights immediately downstream).
+    weights immediately downstream).  A device-resident (jax.Array) u_kn is
+    validated in place — ensure_type's ndarray conversion would pull the
+    whole matrix across the frontend.
     """
+    import numpy as np
+
     n_states, n_samples = u_kn.shape
-    u_kn = ensure_type(u_kn, "float", 2, "u_kn or Q_kn", shape=(n_states, n_samples))
+    if isinstance(u_kn, jax.Array) and not isinstance(u_kn, np.ndarray):
+        if u_kn.ndim != 2:
+            raise ValueError(
+                f"u_kn or Q_kn must be ndim 2. You supplied {u_kn.ndim}"
+            )
+        if not jnp.issubdtype(u_kn.dtype, jnp.floating):
+            u_kn = u_kn.astype(jnp.float64)
+    else:
+        u_kn = ensure_type(
+            u_kn, "float", 2, "u_kn or Q_kn", shape=(n_states, n_samples)
+        )
     N_k = ensure_type(N_k, "float", 1, "N_k", shape=(n_states,), warn_on_cast=False)
     f_k = ensure_type(f_k, "float", 1, "f_k", shape=(n_states,))
     return u_kn, N_k, f_k

@@ -475,13 +475,24 @@ def solve_mbar_once(
 
     if method == "dd":
         # Two-phase double-word solve (solvers_large) — the TPU production
-        # path for large problems.  The f64 matrix never reaches the device:
-        # the (hi, lo) f32 planes are built host-side, chunked, after a
-        # host min-shift precondition (gradients are shift-invariant, and
+        # path for large problems.  A host matrix splits host-side (the
+        # full f64 never reaches the device); a device-RESIDENT matrix
+        # splits on device (dev_split_planes — pulling it to host first
+        # would cost a GB-scale download).  Either way the split applies
+        # the min-shift precondition (gradients are shift-invariant, and
         # the dd solver never consumes the objective value).
-        from pymbar_tpu.solvers_large import host_split_planes, solve_mbar_dd
+        from pymbar_tpu.solvers_large import (
+            dev_split_planes,
+            host_split_planes,
+            solve_mbar_dd,
+        )
 
-        uh, ul = host_split_planes(u_kn_nonzero)
+        if isinstance(u_kn_nonzero, jax.Array) and not isinstance(
+            u_kn_nonzero, np.ndarray
+        ):
+            uh, ul = dev_split_planes(u_kn_nonzero)
+        else:
+            uh, ul = host_split_planes(u_kn_nonzero)
         opts = {
             k: options[k]
             for k in ("f32_tol", "f32_maxiter", "polish_maxiter", "gamma", "fast_exp")
@@ -638,7 +649,10 @@ def solve_mbar(u_kn_nonzero, N_k_nonzero, f_k_nonzero, solver_protocol=None):
                                 jnp.asarray(u_kn_nonzero),
                                 jnp.asarray(
                                     N_k_nonzero,
-                                    dtype=np.asarray(u_kn_nonzero).dtype,
+                                    # .dtype, NOT np.asarray(...).dtype: the
+                                    # latter downloads a device matrix just
+                                    # to read its dtype
+                                    dtype=np.dtype(u_kn_nonzero.dtype),
                                 ),
                                 jnp.asarray(f_k_nonzero_result),
                             )
@@ -715,7 +729,8 @@ def batched_bootstrap_solve(
         precondition_u_kn,
     )
 
-    u_kn = np.asarray(u_kn)
+    if not isinstance(u_kn, jax.Array):
+        u_kn = np.asarray(u_kn)  # device matrices stay resident
     N_k = np.asarray(N_k, dtype=np.float64)
     f_k = np.asarray(f_k, dtype=np.float64)
     rints = np.asarray(rints)
@@ -770,9 +785,13 @@ def batched_bootstrap_solve(
 def solve_mbar_for_all_states(u_kn, N_k, f_k, states_with_samples, solver_protocol):
     """Solve sampled states, then one SC pass to fill empty states, re-pin f_0.
 
-    Mirrors reference mbar_solvers.py:977-1017.
+    Mirrors reference mbar_solvers.py:977-1017.  A device-resident
+    (jax.Array) u_kn is consumed in place: np.asarray here would pull the
+    whole matrix across the frontend (GB-scale = minutes on a tunneled
+    TPU) only for every downstream stage to push it back.
     """
-    u_kn = np.asarray(u_kn)
+    if not isinstance(u_kn, jax.Array):
+        u_kn = np.asarray(u_kn)
     N_k = np.asarray(N_k)
     f_k = np.array(f_k, dtype=np.float64, copy=True)
     states_with_samples = np.asarray(states_with_samples)
@@ -780,8 +799,12 @@ def solve_mbar_for_all_states(u_kn, N_k, f_k, states_with_samples, solver_protoc
     if len(states_with_samples) == 1:
         f_k_nonzero = np.array([0.0])
     else:
+        all_sampled = len(states_with_samples) == len(N_k) and np.array_equal(
+            states_with_samples, np.arange(len(N_k))
+        )
         f_k_nonzero, _all_results = solve_mbar(
-            u_kn[states_with_samples],
+            # identity selection skips a full-matrix device gather copy
+            u_kn if all_sampled else u_kn[states_with_samples],
             N_k[states_with_samples],
             f_k[states_with_samples],
             solver_protocol=solver_protocol,

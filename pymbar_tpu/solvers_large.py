@@ -82,6 +82,57 @@ def split_u_kn_streamed(u64):
     return _split_inplaceish(jnp.asarray(u64))
 
 
+@partial(jax.jit, static_argnames=("chunks",))
+def _dev_split_planes_jit(u64, chunks):
+    K_, N_ = u64.shape
+    nc = max(1, N_ // chunks)
+    n_main = N_ // nc
+
+    shift = jnp.min(u64, axis=0)
+
+    def body(c, planes):
+        uh, ul = planes
+        blk = jax.lax.dynamic_slice(u64, (0, c * nc), (K_, nc))
+        blk = blk - jax.lax.dynamic_slice(shift, (c * nc,), (nc,))[None, :]
+        hi = blk.astype(jnp.float32)
+        lo = (blk - hi.astype(jnp.float64)).astype(jnp.float32)
+        return (
+            jax.lax.dynamic_update_slice(uh, hi, (0, c * nc)),
+            jax.lax.dynamic_update_slice(ul, lo, (0, c * nc)),
+        )
+
+    planes = (
+        jnp.zeros((K_, N_), jnp.float32),
+        jnp.zeros((K_, N_), jnp.float32),
+    )
+    planes = jax.lax.fori_loop(0, n_main, body, planes)
+    rem = N_ - n_main * nc
+    if rem:
+        blk = u64[:, n_main * nc :] - shift[n_main * nc :][None, :]
+        hi = blk.astype(jnp.float32)
+        lo = (blk - hi.astype(jnp.float64)).astype(jnp.float32)
+        planes = (
+            jax.lax.dynamic_update_slice(planes[0], hi, (0, n_main * nc)),
+            jax.lax.dynamic_update_slice(planes[1], lo, (0, n_main * nc)),
+        )
+    return planes
+
+
+def dev_split_planes(u64):
+    """Device-side double-word split of a RESIDENT float64 u_kn.
+
+    The device twin of :func:`host_split_planes` (same per-sample min
+    shift): one chunked jit pass builds the (hi, lo) f32 planes next to
+    the resident matrix with only ~chunk-sized f64 temps live.  Peak HBM
+    is u_kn (8 B/elem) + planes (8 B/elem) + one chunk — fine below ~half
+    the chip's HBM; a host matrix that large should split host-side
+    instead.
+    """
+    u64 = jnp.asarray(u64)
+    chunks = max(1, int(u64.nbytes // (256 * 2**20)))
+    return _dev_split_planes_jit(u64, chunks)
+
+
 def host_split_planes(u_np):
     """Host-side double-word split of a float64 u_kn into (hi, lo) planes.
 
@@ -596,9 +647,12 @@ def solve_mbar_dd_bootstrap(
     (f_k, f_boots, n_fail, info).
     """
     options = dict(options or {})
-    uh, ul = host_split_planes(u_kn)
-    uh = jnp.asarray(uh)
-    ul = jnp.asarray(ul)
+    if isinstance(u_kn, jax.Array) and not isinstance(u_kn, np.ndarray):
+        uh, ul = dev_split_planes(u_kn)  # resident matrix: split on device
+    else:
+        uh, ul = host_split_planes(u_kn)
+        uh = jnp.asarray(uh)
+        ul = jnp.asarray(ul)
     f_sol, info = solve_mbar_dd(
         uh, ul, N_k, f_k=np.asarray(f_k) - np.asarray(f_k)[0], tol=tol,
         **{
