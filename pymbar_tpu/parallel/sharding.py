@@ -812,11 +812,34 @@ def _sharded_gram(u_hi_s, N_k32, f32_val, mesh, axis_name="n", c_s=None):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "axis_name", "n_chunk"),
+)
+def _sharded_materialize_th(u_hi_s, u_lo_s, g0h, g0l, mesh, axis_name, n_chunk):
+    """Each device writes the base-point fast plane for ITS shard: the
+    mesh twin of :func:`pymbar_tpu.solvers_large._materialize_th`.  The
+    per-column stabilizer m_n is column-local and K is unsharded, so no
+    communication happens — the result shards exactly like the planes."""
+    from pymbar_tpu.solvers_large import _materialize_th
+
+    def _local(uh, ul, g0h, g0l):
+        return _materialize_th(uh, ul, g0h, g0l, n_chunk)
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name), P(), P()),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )(u_hi_s, u_lo_s, _replicated(g0h, mesh), _replicated(g0l, mesh))
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "axis_name", "maxiter", "n_chunk"),
 )
 def _sharded_polish_while_dd_batch(
     u_hi_s, u_lo_s, C_s, N_k64, f0, hinv, tol, gamma,
-    mesh, axis_name, maxiter, n_chunk,
+    mesh, axis_name, maxiter, n_chunk, th_s=None,
 ):
     """All replicates batched on the n-sharded planes: the mesh twin of
     :func:`pymbar_tpu.solvers_large._polish_while_dd_batch`.
@@ -827,35 +850,46 @@ def _sharded_polish_while_dd_batch(
     because K is unsharded on the 1-D mesh, and zero-count pad columns
     contribute exactly 0), and one psum per iteration merges the (B, K)
     weight sums.  C_s is the (B, N_padded) f32 counts matrix sharded along
-    'n'."""
+    'n'; ``th_s`` (optional) is the resident fast plane from
+    :func:`_sharded_materialize_th`, sharded like the planes."""
     from pymbar_tpu.solvers_large import _batch_loop_from_S_fn
 
-    def _local(uh, ul, C, N_k64, f0, hinv, tol, gamma):
+    def _local(uh, ul, C, N_k64, f0, hinv, tol, gamma, *maybe_th):
         from pymbar_tpu.solvers_large import _batched_wsum_S
 
+        th = maybe_th[0] if maybe_th else None
+
         def S_fn(g0h, g0l, R, exact):
-            S_part = _batched_wsum_S(uh, ul, g0h, g0l, R, C, n_chunk, exact)
+            S_part = _batched_wsum_S(
+                uh, ul, g0h, g0l, R, C, n_chunk, exact, th=th
+            )
             return jax.lax.psum(S_part, axis_name)
 
         return _batch_loop_from_S_fn(
             S_fn, C.shape[0], N_k64, f0, hinv, tol, gamma, maxiter
         )
 
-    return jax.shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(
-            P(None, axis_name), P(None, axis_name), P(None, axis_name),
-            P(), P(), P(), P(), P(),
-        ),
-        out_specs=P(),
-        check_vma=False,
-    )(
+    in_specs = (
+        P(None, axis_name), P(None, axis_name), P(None, axis_name),
+        P(), P(), P(), P(), P(),
+    )
+    args = (
         u_hi_s, u_lo_s, C_s,
         _replicated(N_k64, mesh), _replicated(f0, mesh),
         _replicated(hinv, mesh), _replicated(tol, mesh),
         _replicated(gamma, mesh),
     )
+    if th_s is not None:
+        in_specs = in_specs + (P(None, axis_name),)
+        args = args + (th_s,)
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(),
+        check_vma=False,
+    )(*args)
 
 
 def sharded_bootstrap_polish_dd(
@@ -911,11 +945,23 @@ def sharded_bootstrap_polish_dd(
     sharding = NamedSharding(mesh, P(axis_name))
 
     if mode == "batched":
+        from pymbar_tpu.ops.doubledouble import dd_from_f64
+        from pymbar_tpu.solvers_large import _use_resident_th
+
         n_dev = int(np.prod(list(mesh.shape.values())))
         hinv_j = jnp.asarray(hinv, jnp.float64)
         n_chunk = _batch_chunk_width(K, max(1, Np // max(n_dev, 1)))
         group = _batch_group_size(B, Np)
         c_shard = NamedSharding(mesh, P(None, axis_name))
+        th_s = None
+        if _use_resident_th(K, max(1, Np // max(n_dev, 1))):
+            # Budgeted per device: each shard parks its own fast plane
+            # next to its plane shard (same 12 B/element accounting as
+            # the single-device engine).
+            g0h, g0l = dd_from_f64(f0 + jnp.log(N_k64))
+            th_s = _sharded_materialize_th(
+                u_hi_s, u_lo_s, g0h, g0l, mesh, axis_name, n_chunk
+            )
         f_boots = np.zeros((B, K))
         retry = []
         for s in range(0, B, group):
@@ -928,7 +974,7 @@ def sharded_bootstrap_polish_dd(
             C_s = jax.device_put(C, c_shard)
             F, _iters, _deltas, conv, _floor = _sharded_polish_while_dd_batch(
                 u_hi_s, u_lo_s, C_s, N_k64, f0, hinv_j, tol_j, gamma_j,
-                mesh, axis_name, maxiter, n_chunk,
+                mesh, axis_name, maxiter, n_chunk, th_s=th_s,
             )
             f_boots[s:e] = np.asarray(F)[:Bg]
             conv = np.asarray(conv)[:Bg]
@@ -937,6 +983,8 @@ def sharded_bootstrap_polish_dd(
                 logger.info(
                     f"Calculated {e:d}/{B:d} bootstrap samples (batched)"
                 )
+        if th_s is not None:
+            th_s.delete()  # release the fast-plane shards before retries
         n_fail = 0
         for b in retry:
             c_pad = np.zeros(Np, dtype=np.float32)
