@@ -58,22 +58,39 @@ def resume_mbar(path, u_kn, skip_solve=False, **mbar_kwargs):
     from pymbar_tpu.mbar import MBAR
 
     state = load_mbar_state(path)
+
+    def _check_K(arr):
+        # shape-only: never np.asarray a device-resident matrix here
+        if np.ndim(arr) == 2 and np.shape(arr)[0] != int(state["K"]):
+            raise ValueError(
+                f"u_kn has {np.shape(arr)[0]} states but the checkpoint was "
+                f"saved with K={int(state['K'])}"
+            )
+
     if skip_solve:
         if mbar_kwargs.pop("n_bootstraps", 0):
             raise ValueError(
                 "skip_solve=True cannot re-solve bootstrap replicates; "
                 "resume without skip_solve for bootstrap uncertainties."
             )
+        # from_solution runs no solver stage, so solver kwargs (valid on
+        # the re-solve path) have nothing to act on — reject them up front
+        # instead of letting from_solution raise a bare TypeError.
+        allowed = {"rseed", "verbose"}
+        bad = set(mbar_kwargs) - allowed
+        if bad:
+            raise TypeError(
+                f"skip_solve=True accepts only {sorted(allowed)} as extra "
+                f"MBAR kwargs (no solver runs); got {sorted(bad)}. Resume "
+                "without skip_solve to pass solver options."
+            )
+        _check_K(u_kn)
         return MBAR.from_solution(
             u_kn, state["N_k"], state["f_k"],
             x_kindices=state["x_kindices"], **mbar_kwargs,
         )
     u_kn = np.asarray(u_kn)
-    if u_kn.ndim == 2 and u_kn.shape[0] != int(state["K"]):
-        raise ValueError(
-            f"u_kn has {u_kn.shape[0]} states but the checkpoint was saved "
-            f"with K={int(state['K'])}"
-        )
+    _check_K(u_kn)
     mbar_kwargs.setdefault("initial_f_k", state["f_k"])
     mbar_kwargs.setdefault("x_kindices", state["x_kindices"])
     return MBAR(u_kn, state["N_k"], **mbar_kwargs)

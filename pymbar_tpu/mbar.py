@@ -769,26 +769,7 @@ class MBAR:
         # Duplicate-state detection on a small random subsample (reference
         # mbar.py:279-317).  The RNG draw happens unconditionally so bootstrap
         # streams are identical regardless of verbosity.
-        self.samestates = []
-        maxpoint = min(50, self.N)
-        indices = self.rng.choice(np.arange(self.N), maxpoint)
-        if self.verbose:
-            for k in range(K):
-                for l in range(k):
-                    uzero = self.u_kn[k, indices] - self.u_kn[l, indices]
-                    if np.dot(uzero, uzero) < relative_tolerance:
-                        self.samestates.append([k, l])
-                        self.samestates.append([l, k])
-                        logger.warning(
-                            f"States {l:d} and {k:d} have the same energies "
-                            "on the dataset.\n"
-                            "They are therefore likely to to be the same "
-                            "thermodynamic state. This can occasionally "
-                            "cause\nnumerical problems with computing the "
-                            "covariance of their energy difference, which "
-                            "must be\nidentically zero in any case. Consider "
-                            "combining them into a single state.\n"
-                        )
+        self._scan_duplicate_states(relative_tolerance)
 
         if self.verbose:
             logger.info("N_k = ")
@@ -1105,13 +1086,48 @@ class MBAR:
         if rseed is None:
             rseed = np.random.randint(np.iinfo(np.int32).max)
         self.rng = np.random.default_rng(rseed)
-        self.samestates = []
+        # Same verbose-gated duplicate-state scan as __init__ (unconditional
+        # RNG draw for stream parity): a verbose from_solution zeroes
+        # identical-state pairs in dDelta matrices exactly like a verbose
+        # fresh construction (reference mbar.py:279-317).
+        self._scan_duplicate_states()
         self.states_with_samples = np.where(self.N_k != 0)[0].astype(np.int64)
         self.K_nonzero = self.states_with_samples.size
         self.mesh = None
         self.n_bootstraps = 0
         self._Log_W_nk = None
         return self
+
+    def _scan_duplicate_states(self, relative_tolerance=1.0e-7):
+        """Duplicate-state detection on a small random subsample (reference
+        mbar.py:279-317), shared by ``__init__`` and ``from_solution``.
+
+        The RNG draw happens unconditionally so bootstrap streams are
+        identical regardless of verbosity; the O(K^2) comparison itself is
+        verbose-gated (as in the reference).  Populates ``self.samestates``,
+        which ``_zerosamestates`` consumes when zeroing dDelta entries.
+        """
+        self.samestates = []
+        maxpoint = min(50, self.N)
+        indices = self.rng.choice(np.arange(self.N), maxpoint)
+        if self.verbose:
+            u_sub = np.asarray(self.u_kn[:, indices], dtype=np.float64)
+            for k in range(self.K):
+                for l in range(k):
+                    uzero = u_sub[k] - u_sub[l]
+                    if np.dot(uzero, uzero) < relative_tolerance:
+                        self.samestates.append([k, l])
+                        self.samestates.append([l, k])
+                        logger.warning(
+                            f"States {l:d} and {k:d} have the same energies "
+                            "on the dataset.\n"
+                            "They are therefore likely to to be the same "
+                            "thermodynamic state. This can occasionally "
+                            "cause\nnumerical problems with computing the "
+                            "covariance of their energy difference, which "
+                            "must be\nidentically zero in any case. Consider "
+                            "combining them into a single state.\n"
+                        )
 
     def _bootstrap_solve_batched(self, stage, verbose):
         """Solve all bootstrap replicates batched under vmap (the shared
@@ -1484,6 +1500,12 @@ class MBAR:
             and (uncertainty_method != "bootstrap" or self.n_bootstraps > 0)
             and S > 0
             and np.array_equal(uls, np.arange(uls.size))
+            # row 0 must be the IDENTITY map, not merely a permutation
+            # covering arange: the diagmul kernels pair observable row s
+            # with extra state s positionally (e_s = la_c * e_l skips the
+            # lidx row-select), so a permuted state_map[0] would silently
+            # mis-pair observables with states.
+            and np.array_equal(state_map[0, :S], np.arange(S))
             and np.array_equal(state_map[1, :S], np.arange(S))
             # the streamed router below additionally requires
             # u_ln.shape[0] == NL; with the alias u_ln.shape[0] == K, so

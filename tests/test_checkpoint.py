@@ -88,3 +88,15 @@ def test_resume_skip_solve(tmp_path):
 
     with pytest.raises(ValueError):
         resume_mbar(path, u_kn, skip_solve=True, n_bootstraps=4)
+
+    # solver kwargs are meaningless when no solver runs: rejected up front
+    with pytest.raises(TypeError):
+        resume_mbar(path, u_kn, skip_solve=True, maximum_iterations=50)
+    with pytest.raises(TypeError):
+        resume_mbar(path, u_kn, skip_solve=True, initial_f_k=m.f_k)
+    # the allowed extras still pass through
+    warm2 = resume_mbar(path, u_kn, skip_solve=True, rseed=7, verbose=False)
+    np.testing.assert_array_equal(warm2.f_k, m.f_k)
+    # the K-consistency check runs on the skip_solve path too
+    with pytest.raises(ValueError):
+        resume_mbar(path, u_kn[:2], skip_solve=True)

@@ -889,6 +889,74 @@ def test_from_solution_validates():
         MBAR.from_solution(u_kn, N_k, np.zeros(5))
 
 
+def test_from_solution_verbose_dup_scan():
+    """A verbose from_solution runs the same duplicate-state scan as a
+    verbose fresh construction (reference mbar.py:279-317), so identical
+    states zero their dDelta entries either way; non-verbose stays empty."""
+    test = make_ho()
+    _x, u_kn, _nk, _s = test.sample([200, 150, 250, 100], mode="u_kn", seed=9)
+    N_k = np.array([200, 150, 250, 100])
+    # duplicate the last state as an extra zero-sample state
+    u_dup = np.vstack([u_kn, u_kn[-1:]])
+    N_dup = np.concatenate([N_k, [0]])
+
+    fresh = MBAR(u_dup, N_dup, verbose=True)
+    assert [4, 3] in fresh.samestates and [3, 4] in fresh.samestates
+
+    warm = MBAR.from_solution(u_dup, N_dup, fresh.f_k, verbose=True)
+    assert [4, 3] in warm.samestates and [3, 4] in warm.samestates
+    r_f = fresh.compute_free_energy_differences()
+    r_w = warm.compute_free_energy_differences()
+    np.testing.assert_allclose(r_w["dDelta_f"], r_f["dDelta_f"], rtol=0, atol=1e-14)
+    assert r_w["dDelta_f"][3, 4] == 0.0
+
+    quiet = MBAR.from_solution(u_dup, N_dup, fresh.f_k)
+    assert quiet.samestates == []
+
+
+def test_permuted_state_map_skips_alias_fast_path(monkeypatch):
+    """compute_expectations_inner with A_n = u_ln = the device-resident
+    u_kn and a PERMUTED state_map[0] must NOT take the aliased diagmul
+    fast path (which pairs observable row s with extra state s
+    positionally): the gate requires the identity map, so the permuted
+    call routes through the generic path and matches the materializing
+    reference route."""
+    import jax.numpy as jnp
+
+    import pymbar_tpu.mbar as mbar_mod
+
+    test = make_ho()
+    _x, u_kn, _nk, _s = test.sample([300, 250, 280, 270], mode="u_kn", seed=31)
+    N_k = np.array([300, 250, 280, 270])
+    K = 4
+    perm = np.array([2, 0, 3, 1])
+    state_map = np.vstack([perm, np.arange(K)])
+
+    m = MBAR(u_kn, N_k, rseed=5)
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 1 << 62)
+    ref = m.compute_expectations_inner(m.u_kn, m.u_kn, state_map)
+
+    m_dev = MBAR(u_kn, N_k, rseed=5)
+    m_dev.u_kn = jnp.asarray(m_dev.u_kn)
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+    got = m_dev.compute_expectations_inner(m_dev.u_kn, m_dev.u_kn, state_map)
+
+    np.testing.assert_allclose(
+        got["observables"], ref["observables"], rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(got["f"], ref["f"], rtol=1e-8, atol=1e-10)
+
+    # the identity map still rides the fast path and agrees too
+    id_map = np.vstack([np.arange(K), np.arange(K)])
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 1 << 62)
+    ref_id = m.compute_expectations_inner(m.u_kn, m.u_kn, id_map)
+    monkeypatch.setattr(mbar_mod, "_AUG_STREAM_BYTES", 0)
+    got_id = m_dev.compute_expectations_inner(m_dev.u_kn, m_dev.u_kn, id_map)
+    np.testing.assert_allclose(
+        got_id["observables"], ref_id["observables"], rtol=1e-8, atol=1e-10
+    )
+
+
 def test_init_with_device_matrix_matches_host():
     """MBAR.__init__ stores a device-resident (jax.Array) u_kn AS GIVEN —
     no host round-trip — and solves/computes identically to the
