@@ -61,6 +61,25 @@ def _fence(*xs):
     return out
 
 
+def _median3(fn, reps=3):
+    """Median-of-``reps`` wall of ``fn()`` (which must block until its
+    result is complete — return host arrays or end with :func:`_fence`).
+
+    Every ``*_s`` bench field uses this: single-shot walls under the
+    tunneled frontend swing ±35-60% run-to-run (BENCH_r03 vs r04), which
+    made round-over-round comparison unjudgeable; the median absorbs
+    jitter in BOTH directions, unlike best-of-N's low bias.  Returns
+    (median_wall, last_result).
+    """
+    walls = []
+    out = None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        walls.append(time.time() - t0)
+    return float(np.median(walls)), out
+
+
 def _setup():
     import jax
 
@@ -400,11 +419,7 @@ def tpu_solve():
         return f, info
 
     f, info = solve()  # warm-up / compile
-    solve_s = np.inf  # best of 3 (tunnel walls vary ~15% run-to-run)
-    for _ in range(3):
-        t0 = time.time()
-        f, info = solve()
-        solve_s = min(solve_s, time.time() - t0)
+    solve_s, (f, info) = _median3(solve)
 
     f = f - f[0]
     delta_f_rmse = float(np.sqrt(np.mean((f - f_analytic) ** 2)))
@@ -459,14 +474,14 @@ def tpu_solve():
         )
         counts[b] = np.bincount(r, minlength=N)
     Nk_host = np.full(K, float(N_PER_STATE))
-    f_bb, _nf = bootstrap_polish_dd(  # warm-up / compile (same group shape)
+    f_bb, _nf, _bi0 = bootstrap_polish_dd(  # warm-up / compile (same group shape)
         u_hi, u_lo, Nk_host, f, info["hinv"], counts
     )
-    t0 = time.time()
-    f_boots, n_fail = bootstrap_polish_dd(
-        u_hi, u_lo, Nk_host, f, info["hinv"], counts
+    boot_s, (f_boots, n_fail, boot_info) = _median3(
+        lambda: bootstrap_polish_dd(
+            u_hi, u_lo, Nk_host, f, info["hinv"], counts
+        )
     )
-    boot_s = time.time() - t0
     boot_reps_per_s = B / boot_s
     boot_sigma_finite = bool(np.all(np.isfinite(np.std(f_boots, axis=0))))
 
@@ -518,12 +533,16 @@ def tpu_solve():
     # here — ~2.5 s of single-vCPU pinv the class path never runs on TPU.)
     theta = m._compute_theta_streamed()  # warm-up / compile
     _fence(theta)
-    t0 = time.time()
-    theta = m._compute_theta_streamed()
-    # The lowrank path returns a device-resident Theta whose trailing
-    # assembly matmuls are still in flight — fence inside the timed region.
-    _fence(theta)
-    cov_s = time.time() - t0
+
+    def _cov():
+        # The lowrank path returns a device-resident Theta whose trailing
+        # assembly matmuls are still in flight — fence inside the timed
+        # region.
+        th = m._compute_theta_streamed()
+        _fence(th)
+        return th
+
+    cov_s, theta = _median3(_cov)
     assert np.all(np.isfinite(theta))
 
     # compute_perturbed_free_energies (the augmented-state expectations
@@ -531,40 +550,34 @@ def tpu_solve():
     # through the real class method on a device-resident matrix.
     u_ln = np.asarray(u64[:2]) + np.array([[0.0], [0.1]])
     pert = m.compute_perturbed_free_energies(u_ln)  # warm-up / compile
-    t0 = time.time()
-    pert = m.compute_perturbed_free_energies(u_ln)
-    expectations_s = time.time() - t0
+    expectations_s, pert = _median3(
+        lambda: m.compute_perturbed_free_energies(u_ln)
+    )
     assert np.all(np.isfinite(pert["Delta_f"]))
 
     # compute_expectations(A_n) at all K states — u_ln aliases the resident
     # matrix, so both augmented passes run as single-dispatch device scans.
     A_obs = np.asarray(u64[0])
     ex = m.compute_expectations(A_obs)  # warm-up / compile
-    t0 = time.time()
-    ex = m.compute_expectations(A_obs)
-    expectations_all_states_s = time.time() - t0
+    expectations_all_states_s, ex = _median3(
+        lambda: m.compute_expectations(A_obs)
+    )
     assert np.all(np.isfinite(ex["mu"])) and np.all(np.isfinite(ex["sigma"]))
 
     # compute_entropy_and_enthalpy at the 8 GB config: the observable IS
     # the resident matrix (aliased-observable path — the shift and every
     # observable chunk build on device; no host copy of u_kn exists).
     ee = m.compute_entropy_and_enthalpy()  # warm-up / compile
-    t0 = time.time()
-    ee = m.compute_entropy_and_enthalpy()
-    entropy_s = time.time() - t0
+    entropy_s, ee = _median3(m.compute_entropy_and_enthalpy)
     assert all(np.all(np.isfinite(ee[k])) for k in ee)
 
     # overlap matrix (streamed Gram + host eig) and Kish effective sample
     # numbers (streamed Gram diagonal) at the same scale.
     ov = m.compute_overlap()  # warm-up / compile
-    t0 = time.time()
-    ov = m.compute_overlap()
-    overlap_s = time.time() - t0
+    overlap_s, ov = _median3(m.compute_overlap)
     assert np.isfinite(np.real(ov["scalar"]))
     ne = m.compute_effective_sample_number()  # warm-up / compile
-    t0 = time.time()
-    ne = m.compute_effective_sample_number()
-    neff_s = time.time() - t0
+    neff_s, ne = _median3(m.compute_effective_sample_number)
     assert np.all(np.isfinite(ne))
 
     del u64, out, m
@@ -601,6 +614,14 @@ def tpu_solve():
         vpu_semantic_floor_pct=round(semantic_floor_pct, 1),
         bootstrap_reps_per_s=round(boot_reps_per_s, 3),
         bootstrap_n_fail=int(n_fail),
+        bootstrap_n_at_floor=int(boot_info["n_at_floor"]),
+        # Real per-phase walls from the production engine (the fast/exact
+        # phases run as separate jits with a fence at the boundary).
+        bootstrap_phase_walls=boot_info.get("phase_walls"),
+        bootstrap_fast_iters=int(boot_info.get("fast_iters", -1)),
+        bootstrap_exact_iters_mean=round(
+            float(np.mean(boot_info["exact_iters"])), 2
+        ),
         bootstrap_sigma_finite=boot_sigma_finite,
         cov_s=round(cov_s, 3),
         expectations_s=round(expectations_s, 3),
@@ -703,11 +724,9 @@ def k4096_slice(jax, jnp):
 
     Nk_host = np.full(K4, float(NPK4))
     f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)  # compile + run
-    solve_s = np.inf  # best of 3 (tunnel walls vary ~15% run-to-run)
-    for _ in range(3):
-        t0 = time.time()
-        f, info = solve_mbar_dd(uh, ul, Nk_host, tol=TOL)
-        solve_s = min(solve_s, time.time() - t0)
+    solve_s, (f, info) = _median3(
+        lambda: solve_mbar_dd(uh, ul, Nk_host, tol=TOL)
+    )
 
     gh, gl = dd_from_f64(jnp.asarray(f) + jnp.log(N_k))
     _fence(wsum_dd(uh, ul, gh, gl))  # warm-up / compile, hard-synced
@@ -779,9 +798,8 @@ def fes_slice(jax, jnp):
     u_kn = gen_ukn(jnp.asarray(x_n))
     float(u_kn[0, 0])  # sync
 
-    t0 = time.time()
-    fes = FES(u_kn, N_k)
-    fes_mbar_s = time.time() - t0
+    fes = FES(u_kn, N_k)  # warm-up: trace + persistent-cache hit
+    fes_mbar_s, fes = _median3(lambda: FES(u_kn, N_k))
 
     nbins = 100
     bin_edges = np.linspace(x_n.min() - 1e-6, x_n.max() + 1e-6, nbins + 1)
@@ -798,9 +816,7 @@ def fes_slice(jax, jnp):
         )
 
     r = run_hist()  # warm-up / compile
-    t0 = time.time()
-    r = run_hist()
-    fes_histogram_s = time.time() - t0
+    fes_histogram_s, r = _median3(run_hist)
     # Unpopulated query bins return NaN by design (a fixed deviation from
     # the reference's KeyError); everything populated must be finite, and
     # df_i is 0 at the from-lowest reference bin.
@@ -823,9 +839,7 @@ def fes_slice(jax, jnp):
         return fes.get_fes(bin_centers, reference_point="from-lowest")
 
     r = run_kde()  # warm-up / compile
-    t0 = time.time()
-    r = run_kde()
-    fes_kde_s = time.time() - t0
+    fes_kde_s, r = _median3(run_kde)
     assert np.all(np.isfinite(r["f_i"]))
 
     def _bias(k):
@@ -855,9 +869,7 @@ def fes_slice(jax, jnp):
         return fes.get_fes(bin_centers, reference_point="from-lowest")
 
     r = run_spline()  # warm-up / compile
-    t0 = time.time()
-    r = run_spline()
-    fes_spline_s = time.time() - t0
+    fes_spline_s, r = _median3(run_spline)
     assert np.all(np.isfinite(r["f_i"]))
 
     return dict(
@@ -874,6 +886,14 @@ def reference_baseline():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as fh:
             return json.load(fh)
+
+    # Off this container the reference mount does not exist: degrade to a
+    # bench line without vs_baseline instead of a subprocess crash (not
+    # cached, so a later run with the mount present still measures it).
+    if not os.path.isdir("/root/reference"):
+        return dict(
+            error="/root/reference not present", ref_solve_s_scaled=None
+        )
 
     import subprocess
     import tempfile

@@ -1,14 +1,16 @@
 """Phase-level timing probe for compute_entropy_and_enthalpy at the bench
 config (K=1024, N~1e6, device-resident f64 matrix).  Times pass A alone
 (return_theta=False) vs pass A+B, at several streaming chunk sizes, plus the
-all-states expectations call for comparison.  Run on the real TPU:
-    PYTHONPATH=/root/repo:/root/.axon_site python -u examples/_probe_entropy.py
+all-states expectations call for comparison.  Run on the real TPU from the
+repo root:
+    python -u profiling/probe_entropy.py
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import bench as B

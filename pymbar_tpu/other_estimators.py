@@ -22,6 +22,24 @@ logger = logging.getLogger(__name__)
 __all__ = ["bar_zero", "bar", "bar_overlap", "exp", "exp_gauss"]
 
 
+def _fermi_log_moments(x):
+    """First and second moments of the Fermi function f(x) = 1/(1 + e^x)
+    over a work array, evaluated in guarded log space.
+
+    Uses the softplus identity log f(x) = -(max(x, 0) + log1p(e^-|x|)) —
+    overflow-free on either tail — and one logsumexp per moment:
+    <f^p> = exp(logsumexp(p log f) - log T).  Shared by the 'BAR'
+    (Bennett Eq. 10a) and 'MBAR' (exact two-state Eq. E9) uncertainty
+    variants of :func:`bar`.
+    """
+    log_f = -(np.maximum(x, 0.0) + np.log1p(np.exp(-np.abs(x))))
+    log_T = np.log(float(x.size))
+    return (
+        np.exp(logsumexp(log_f) - log_T),
+        np.exp(logsumexp(2.0 * log_f) - log_T),
+    )
+
+
 def bar_zero(w_F, w_R, DeltaF):
     """The implicit BAR function; zero when DeltaF solves the BAR equation.
 
@@ -218,35 +236,21 @@ def bar(
 
     # Uncertainty: Bennett Eq. 10a ('BAR', with the n_1<f>_1^2 correction) or
     # the exact two-state MBAR Eq. E9 ('MBAR'); see reference
-    # other_estimators.py:370-525 for the full derivation commentary.
+    # other_estimators.py:370-525 for the full derivation commentary.  Both
+    # variants consume the same two Fermi moments per work direction, so the
+    # guarded log-space evaluation lives in one helper.
     T_F = float(w_F.size)
     T_R = float(w_R.size)
-    M = np.log(T_F / T_R)
+    C = np.log(T_F / T_R) - (DeltaF if iterated_solution else DeltaF_initial)
 
-    C = M - DeltaF if iterated_solution else M - DeltaF_initial
-
-    # Mean Fermi functions and their squares, all in guarded log space.
-    exp_arg_F = w_F + C
-    max_arg_F = np.max(exp_arg_F)
-    log_fF = -np.log(np.exp(-max_arg_F) + np.exp(exp_arg_F - max_arg_F))
-    afF = np.exp(logsumexp(log_fF) - max_arg_F) / T_F
-
-    exp_arg_R = w_R - C
-    max_arg_R = np.max(exp_arg_R)
-    log_fR = -np.log(np.exp(-max_arg_R) + np.exp(exp_arg_R - max_arg_R))
-    afR = np.exp(logsumexp(log_fR) - max_arg_R) / T_R
-
-    afF2 = np.exp(logsumexp(2 * log_fF) - 2 * max_arg_F) / T_F
-    afR2 = np.exp(logsumexp(2 * log_fR) - 2 * max_arg_R) / T_R
-
+    afF, afF2 = _fermi_log_moments(w_F + C)
+    afR, afR2 = _fermi_log_moments(w_R - C)
     nrat = (T_F + T_R) / (T_F * T_R)
 
     if uncertainty_method == "BAR":
-        variance = (afF2 / afF**2) / T_F + (afR2 / afR**2) / T_R - nrat
-        dDeltaF = np.sqrt(variance)
+        dDeltaF = np.sqrt((afF2 / afF**2) / T_F + (afR2 / afR**2) / T_R - nrat)
     else:  # MBAR
-        vartemp = (afF - afF2) * T_F + (afR - afR2) * T_R
-        dDeltaF = np.sqrt(1.0 / vartemp - nrat)
+        dDeltaF = np.sqrt(1.0 / ((afF - afF2) * T_F + (afR - afR2) * T_R) - nrat)
 
     if verbose:
         logger.info(f"DeltaF = {DeltaF:8.3f} +- {dDeltaF:8.3f}")

@@ -919,13 +919,17 @@ def sharded_bootstrap_polish_dd(
     only extra communication is the per-device count-shard upload and the
     usual K-sized partial merges.
     Reference semantics: pymbar 4.x mbar.py:417-449.
-    Returns (f_boots (B, K) float64, n_fail).
+    Returns (f_boots (B, K) float64, n_fail, info) with the same
+    convergence-accounting ``info`` dict as the single-device engine
+    (``at_floor`` mask / ``n_at_floor`` / ``n_tol_converged`` — noise-floor
+    stops reported separately from certified d < tol).
     """
     import logging as _logging
 
     from pymbar_tpu.solvers_large import (
         _batch_chunk_width,
         _batch_group_size,
+        _boot_info,
         _newton_factor,
         polish_to_host,
     )
@@ -963,6 +967,7 @@ def sharded_bootstrap_polish_dd(
                 u_hi_s, u_lo_s, g0h, g0l, mesh, axis_name, n_chunk
             )
         f_boots = np.zeros((B, K))
+        at_floor = np.zeros(B, bool)
         retry = []
         for s in range(0, B, group):
             e = min(B, s + group)
@@ -972,12 +977,13 @@ def sharded_bootstrap_polish_dd(
             if Bg < C.shape[0]:
                 C[Bg:] = C[0]  # pad rows reuse the jit cache; discarded
             C_s = jax.device_put(C, c_shard)
-            F, _iters, _deltas, conv, _floor = _sharded_polish_while_dd_batch(
+            F, _iters, _deltas, conv, floor = _sharded_polish_while_dd_batch(
                 u_hi_s, u_lo_s, C_s, N_k64, f0, hinv_j, tol_j, gamma_j,
                 mesh, axis_name, maxiter, n_chunk, th_s=th_s,
             )
             f_boots[s:e] = np.asarray(F)[:Bg]
             conv = np.asarray(conv)[:Bg]
+            at_floor[s:e] = np.asarray(floor)[:Bg]
             retry.extend(s + i for i in np.nonzero(~conv)[0])
             if verbose:
                 logger.info(
@@ -996,25 +1002,27 @@ def sharded_bootstrap_polish_dd(
                 c_s=c_s,
             )
             hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
-            f_b, _it, _g, _d, converged, _floor = polish_to_host(
+            f_b, _it, _g, _d, converged, floor_b = polish_to_host(
                 _sharded_polish_while_dd_w(
                     u_hi_s, u_lo_s, c_s, N_k64, f_b, hinv_b, logN, tol_j,
                     gamma_j, mesh, axis_name, maxiter, bool(fast_exp),
                 )
             )
+            at_floor[b] = converged and floor_b
             if not converged:
                 n_fail += 1
             f_b = np.asarray(f_b)
             f_boots[b] = f_b - f_b[0]
-        return f_boots, n_fail
+        return f_boots, n_fail, _boot_info(at_floor, B, n_fail)
 
     f_boots = np.zeros((B, K))
+    at_floor = np.zeros(B, bool)
     n_fail = 0
     for b in range(B):
         c_pad = np.zeros(Np, dtype=np.float32)
         c_pad[:N] = counts[b]
         c_s = jax.device_put(c_pad, sharding)
-        f_b, _it, _g, _d, converged, _floor = polish_to_host(
+        f_b, _it, _g, _d, converged, floor_b = polish_to_host(
             _sharded_polish_while_dd_w(
                 u_hi_s, u_lo_s, c_s, N_k64, f0, hinv, logN, tol_j, gamma_j,
                 mesh, axis_name, maxiter, bool(fast_exp),
@@ -1026,19 +1034,20 @@ def sharded_bootstrap_polish_dd(
                 c_s=c_s,
             )
             hinv_b = _newton_factor(gram_b, colsum_b, N_k64)
-            f_b, _it, _g, _d, converged, _floor = polish_to_host(
+            f_b, _it, _g, _d, converged, floor_b = polish_to_host(
                 _sharded_polish_while_dd_w(
                     u_hi_s, u_lo_s, c_s, N_k64, f_b, hinv_b, logN, tol_j,
                     gamma_j, mesh, axis_name, maxiter, bool(fast_exp),
                 )
             )
+        at_floor[b] = converged and floor_b
         if not converged:
             n_fail += 1
         f_b = np.asarray(f_b)
         f_boots[b] = f_b - f_b[0]
         if verbose and (b + 1) % max(1, B // 10) == 0:
             logger.info(f"Calculated {b + 1:d}/{B:d} bootstrap samples")
-    return f_boots, n_fail
+    return f_boots, n_fail, _boot_info(at_floor, B, n_fail)
 
 
 def sharded_solve_mbar_dd(
@@ -1617,11 +1626,11 @@ def sharded_solve_mbar_for_all_states(
 
     if bootstrap_counts is not None:
         u_hi_s, u_lo_s = info["planes"]
-        f_boots, n_fail = sharded_bootstrap_polish_dd(
+        f_boots, n_fail, boot_info = sharded_bootstrap_polish_dd(
             u_hi_s, u_lo_s, N_k, f_sub, info["hinv"], bootstrap_counts,
             mesh, axis_name=axis_name, tol=tol, verbose=verbose,
         )
-        return f_k - f_k[0], f_boots, n_fail
+        return f_k - f_k[0], f_boots, n_fail, boot_info
 
     if len(sws) < len(N_k):
         # Empty-state fill: one SC update over all K states (empty states

@@ -181,6 +181,38 @@ def test_dd_solver_method_through_mbar():
     assert np.max(np.abs(m_dd.f_k - m_def.f_k)) < 1e-7
 
 
+def test_dd_auto_route_threshold(monkeypatch):
+    """On TPU the default-protocol auto-route sends any problem above
+    _DD_ROUTE_BYTES (~64 MB — lowered from 2 GiB in round 5 so the FES
+    front door and every sub-GiB problem ride the fast dd solver) through
+    method='dd'.  Forced here by patching the threshold to 0 and the
+    backend check to True; the route must land on the same fixed point as
+    the explicit adaptive protocol, including with an empty state."""
+    import pymbar_tpu.config as cfg
+    import pymbar_tpu.mbar as mbar_mod
+    import pymbar_tpu.solvers_large as sl_mod
+    from pymbar_tpu import MBAR, testsystems
+
+    tc = testsystems.HarmonicOscillatorsTestCase(
+        O_k=[0.0, 1.0, 2.0, 3.0], K_k=[1.0, 2.0, 3.0, 2.0]
+    )
+    _x, u_kn, N_k_out, _s = tc.sample(
+        N_k=[600, 500, 0, 400], mode="u_kn", seed=19
+    )
+    ref = MBAR(u_kn, N_k_out)
+
+    monkeypatch.setattr(mbar_mod, "_DD_ROUTE_BYTES", 0)
+    # route gate sees a single-chip TPU; the dd engine's kernel gate stays
+    # on the jnp reference twins (Pallas cannot run on the CPU test
+    # backend).  With >1 devices visible the same route picks the mesh
+    # path instead — covered by test_sharding / the multichip dryrun.
+    monkeypatch.setattr(cfg, "on_tpu", lambda: True)
+    monkeypatch.setattr(sl_mod, "on_tpu", lambda: False)
+    monkeypatch.setattr(mbar_mod._jax, "devices", lambda *a: [object()])
+    routed = MBAR(u_kn, N_k_out)
+    assert np.max(np.abs(routed.f_k - ref.f_k)) < 1e-7
+
+
 def test_host_and_device_adaptive_metrics_agree():
     """The convergence rule exists exactly twice (traceable + host); pin the
     two implementations equal on randomized inputs, both metric modes."""

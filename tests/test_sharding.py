@@ -543,10 +543,10 @@ def test_sharded_bootstrap_batched_matches_serial(boot_problem):
             np.add.at(counts[b], idx, 1.0)
         start += nk
 
-    fb_ser, nf_ser = sharded_bootstrap_polish_dd(
+    fb_ser, nf_ser, _bi_s = sharded_bootstrap_polish_dd(
         uh_s, ul_s, N_k, f_k, info["hinv"], counts, mesh, mode="serial"
     )
-    fb_bat, nf_bat = sharded_bootstrap_polish_dd(
+    fb_bat, nf_bat, _bi_b = sharded_bootstrap_polish_dd(
         uh_s, ul_s, N_k, f_k, info["hinv"], counts, mesh, mode="batched"
     )
     assert nf_ser == 0 and nf_bat == 0
@@ -661,14 +661,14 @@ def test_scaled_mesh_bootstrap_matches_single_device():
         counts[b] = np.bincount(r, minlength=N)
 
     f_sd, info_sd = solve_mbar_dd(uh, ul, N_k, tol=1e-12)
-    fb_sd, nf_sd = bootstrap_polish_dd(
+    fb_sd, nf_sd, _bi_sd = bootstrap_polish_dd(
         uh, ul, N_k, f_sd, info_sd["hinv"], counts, mode="batched"
     )
 
     mesh = default_mesh(8)
     f_m, info_m = sharded_solve_mbar_dd(uh, ul, N_k, mesh=mesh, return_state=True)
     uh_s, ul_s = info_m["planes"]
-    fb_m, nf_m = sharded_bootstrap_polish_dd(
+    fb_m, nf_m, _bi_m = sharded_bootstrap_polish_dd(
         uh_s, ul_s, N_k, f_m, info_m["hinv"], counts, mesh, mode="batched"
     )
 
