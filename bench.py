@@ -996,6 +996,11 @@ def main():
                 vpu_semantic_floor_pct=result["vpu_semantic_floor_pct"],
                 bootstrap_reps_per_s=result["bootstrap_reps_per_s"],
                 bootstrap_n_fail=result["bootstrap_n_fail"],
+                bootstrap_n_at_floor=result["bootstrap_n_at_floor"],
+                bootstrap_phase_walls=result["bootstrap_phase_walls"],
+                bootstrap_fast_iters=result["bootstrap_fast_iters"],
+                bootstrap_exact_iters_mean=result["bootstrap_exact_iters_mean"],
+                bootstrap_sigma_finite=result["bootstrap_sigma_finite"],
                 cov_s=result["cov_s"],
                 expectations_s=result["expectations_s"],
                 expectations_all_states_s=result["expectations_all_states_s"],

@@ -85,16 +85,10 @@ def bar_zero(w_F, w_R, DeltaF):
 
 
 def bar(
-    w_F,
-    w_R,
-    DeltaF=0.0,
-    compute_uncertainty=True,
-    uncertainty_method="BAR",
-    maximum_iterations=500,
-    relative_tolerance=1.0e-12,
-    verbose=False,
-    method="false-position",
-    iterated_solution=True,
+    w_F, w_R, DeltaF=0.0, compute_uncertainty=True,
+    uncertainty_method="BAR", maximum_iterations=500,
+    relative_tolerance=1.0e-12, verbose=False,
+    method="false-position", iterated_solution=True,
 ):
     """Bennett acceptance ratio estimate of the free energy difference.
 
@@ -124,19 +118,30 @@ def bar(
             f"uncertainty_method {uncertainty_method} is not defined for bar"
         )
 
+    # Root solve.  Solver state: the current estimate plus, for the two
+    # bracketing methods, the sign-change interval (lo, hi) with its
+    # endpoint values (Flo, Fhi).  Every implicit-function evaluation goes
+    # through the counting closure so the verbose convergence report can
+    # quote the true cost.
     nfunc = 0
     relative_change = np.nan
     iteration = 0
 
-    if method in ("bisection", "false-position"):
-        UpperB = exp(w_F)["Delta_f"]
-        LowerB = -exp(w_R)["Delta_f"]
+    def feval(x):
+        nonlocal nfunc
+        nfunc += 1
+        return bar_zero(w_F, w_R, x)
 
-        FUpperB = bar_zero(w_F, w_R, UpperB)
-        FLowerB = bar_zero(w_F, w_R, LowerB)
-        nfunc = 2
+    bracketed = method in ("bisection", "false-position")
+    if bracketed:
+        # Seed the bracket with the two one-sided EXP estimates; if the
+        # endpoint values share a sign, pull both endpoints toward the
+        # midpoint by at least 0.1 per round until the sign flips
+        # (reference widening rule, other_estimators.py:238-260).
+        hi, lo = exp(w_F)["Delta_f"], -exp(w_R)["Delta_f"]
+        Fhi, Flo = feval(hi), feval(lo)
 
-        if np.isnan(FUpperB) or np.isnan(FLowerB):
+        if np.isnan(Fhi) or np.isnan(Flo):
             logger.warning(
                 "BAR is likely to be inaccurate because of poor overlap. "
                 "Improve the sampling, or decrease the spacing between "
@@ -148,51 +153,44 @@ def bar(
                 result_vals["dDelta_f"] = 0.0
             return result_vals
 
-        while FUpperB * FLowerB > 0:
-            # Same sign: widen until the root is bracketed.
+        while Fhi * Flo > 0:
             if verbose:
                 logger.info("Initial brackets did not actually bracket, widening them")
-            FAve = (UpperB + LowerB) / 2
-            UpperB = UpperB - max(abs(UpperB - FAve), 0.1)
-            LowerB = LowerB + max(abs(LowerB - FAve), 0.1)
-            FUpperB = bar_zero(w_F, w_R, UpperB)
-            FLowerB = bar_zero(w_F, w_R, LowerB)
-            nfunc += 2
+            mid = (hi + lo) / 2
+            hi, lo = hi - max(abs(hi - mid), 0.1), lo + max(abs(lo - mid), 0.1)
+            Fhi, Flo = feval(hi), feval(lo)
 
     for iteration in range(maximum_iterations + 1):
-        DeltaF_old = DeltaF
-        FNew = np.nan
+        x_prev, FNew = DeltaF, np.nan
 
-        if method == "false-position":
-            if (LowerB == 0.0) and (UpperB == 0.0):
-                DeltaF = 0.0
-                FNew = 0.0
+        if not bracketed:
+            # fixed-point map x <- x - fzero(x)
+            DeltaF = DeltaF - feval(DeltaF)
+        elif method == "bisection":
+            DeltaF = (hi + lo) / 2
+            FNew = feval(DeltaF)
+        else:
+            # false position: secant through the bracket endpoints
+            if hi == 0.0 and lo == 0.0:
+                DeltaF, FNew = 0.0, 0.0
+                nfunc += 1  # count parity with the evaluated branch
             else:
-                DeltaF = UpperB - FUpperB * (UpperB - LowerB) / (FUpperB - FLowerB)
-                FNew = bar_zero(w_F, w_R, DeltaF)
-            nfunc += 1
+                DeltaF = hi - Fhi * (hi - lo) / (Fhi - Flo)
+                FNew = feval(DeltaF)
             if FNew == 0:
                 if verbose:
                     logger.info("Convergence achieved.")
                 relative_change = 1.0e-15
                 break
 
-        if method == "bisection":
-            DeltaF = (UpperB + LowerB) / 2
-            FNew = bar_zero(w_F, w_R, DeltaF)
-            nfunc += 1
-
-        if method == "self-consistent-iteration":
-            DeltaF = -bar_zero(w_F, w_R, DeltaF) + DeltaF
-            nfunc += 1
-
         if DeltaF == 0.0:
+            # exact zero is a fixed point of every update rule above
             if verbose:
                 logger.info("The free energy difference appears to be zero.")
             break
 
         if iterated_solution:
-            relative_change = abs((DeltaF - DeltaF_old) / DeltaF)
+            relative_change = abs((DeltaF - x_prev) / DeltaF)
             if verbose:
                 logger.info(f"relative_change = {relative_change:12.3f}")
             if iteration > 0 and relative_change < relative_tolerance:
@@ -200,13 +198,12 @@ def bar(
                     logger.info("Convergence achieved.")
                 break
 
-        if method in ("false-position", "bisection"):
-            if FUpperB * FNew < 0:
-                LowerB = DeltaF
-                FLowerB = FNew
-            elif FLowerB * FNew <= 0:
-                UpperB = DeltaF
-                FUpperB = FNew
+        if bracketed:
+            # replace the endpoint that shares the new point's sign
+            if Fhi * FNew < 0:
+                lo, Flo = DeltaF, FNew
+            elif Flo * FNew <= 0:
+                hi, Fhi = DeltaF, FNew
             else:
                 raise BoundsError("WARNING: Cannot determine bound on free energy")
 
@@ -214,18 +211,17 @@ def bar(
             logger.info(f"iteration {iteration:5d}: DeltaF = {DeltaF:16.3f}")
 
     if iterated_solution:
-        if iteration < maximum_iterations:
-            if verbose:
-                logger.info(
-                    f"Converged to tolerance of {relative_change:e} in "
-                    f"{iteration:d} iterations ({nfunc:d} function evaluations)"
-                )
-        else:
+        if iteration >= maximum_iterations:
             raise ConvergenceError(
                 "WARNING: Did not converge to within specified tolerance. "
                 f"max_delta = {relative_change:f}, "
                 f"TOLERANCE = {relative_tolerance:f}, "
                 f"MAX_ITS = {maximum_iterations:d}"
+            )
+        if verbose:
+            logger.info(
+                f"Converged to tolerance of {relative_change:e} in "
+                f"{iteration:d} iterations ({nfunc:d} function evaluations)"
             )
 
     if not compute_uncertainty:
@@ -271,20 +267,22 @@ def bar_overlap(w_F, w_R):
     w_F = np.asarray(w_F, dtype=np.float64)
     w_R = np.asarray(w_R, dtype=np.float64)
 
-    N_k = np.array([len(w_F), len(w_R)])
-    N = N_k.sum()
-    u_kn = np.zeros([2, N])
-    u_kn[1, 0 : N_k[0]] = w_F[:]
-    u_kn[0, N_k[0] : N] = w_R[:]
-    mbar = MBAR(u_kn, N_k)
+    # Two-state reduced potentials, samples concatenated [F-ensemble |
+    # R-ensemble]: state 0 is each sample's own ensemble (u = 0 offset),
+    # state 1 the other, so the off-diagonal rows carry the work values.
+    u_kn = np.stack(
+        [
+            np.concatenate([np.zeros_like(w_F), w_R]),
+            np.concatenate([w_F, np.zeros_like(w_R)]),
+        ]
+    )
+    mbar = MBAR(u_kn, np.array([w_F.size, w_R.size]))
 
-    results = bar(w_F, w_R)
-    bar_df = results["Delta_f"]
-    bar_ddf = results["dDelta_f"]
-
-    assert np.isclose(
-        mbar.f_k[1] - mbar.f_k[0], bar_df
-    ), f"BAR: {bar_df} +- {bar_ddf} | MBAR: {mbar.f_k[1] - mbar.f_k[0]}"
+    res = bar(w_F, w_R)
+    mbar_df = mbar.f_k[1] - mbar.f_k[0]
+    assert np.isclose(mbar_df, res["Delta_f"]), (
+        f"BAR: {res['Delta_f']} +- {res['dDelta_f']} | MBAR: {mbar_df}"
+    )
 
     return mbar.compute_overlap()["scalar"]
 
@@ -297,29 +295,21 @@ def exp(w_F, compute_uncertainty=True, is_timeseries=False):
     inefficiency when ``is_timeseries`` (reference other_estimators.py:572-647).
     """
     w_F = np.asarray(w_F, dtype=np.float64)
-    result_vals = dict()
-
-    T = float(np.size(w_F))
-    DeltaF = -(logsumexp(-w_F) - np.log(T))
+    T = float(w_F.size)
+    out = {"Delta_f": -(logsumexp(-w_F) - np.log(T))}
 
     if compute_uncertainty:
-        max_arg = np.max(-w_F)
-        x = np.exp(-w_F - max_arg)
-        Ex = x.mean()
-
+        # standard error of the max-shifted exponentials, over effective
+        # (independent) sample count T/g
+        x = np.exp(-w_F - np.max(-w_F))
         g = 1.0
         if is_timeseries:
             from pymbar_tpu import timeseries
 
             g = timeseries.statistical_inefficiency(x, x)
+        out["dDelta_f"] = (np.std(x) / np.sqrt(T / g)) / x.mean()
 
-        dx = np.std(x) / np.sqrt(T / g)
-        result_vals["Delta_f"] = DeltaF
-        result_vals["dDelta_f"] = dx / Ex
-    else:
-        result_vals["Delta_f"] = DeltaF
-
-    return result_vals
+    return out
 
 
 def exp_gauss(w_F, compute_uncertainty=True, is_timeseries=False):
