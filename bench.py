@@ -485,9 +485,42 @@ def tpu_solve():
     boot_reps_per_s = B / boot_s
     boot_sigma_finite = bool(np.all(np.isfinite(np.std(f_boots, axis=0))))
 
+    # Mesh twin at the same HBM edge (VERDICT r4 item 10): force the
+    # sharded batched-bootstrap path on a 1-device mesh over the REAL
+    # chip — n-sharded plane layout, per-shard resident th plane, count
+    # shard uploads and the group chunking all run at the 8 GB config.
+    # On one device the shardings are equivalent, so device_put aliases
+    # the resident planes (no copy); if a backend ever copies, drop the
+    # originals immediately to stay inside HBM.
+    from jax.sharding import Mesh as _Mesh
+    from jax.sharding import NamedSharding as _NS
+    from jax.sharding import PartitionSpec as _P
+
+    from pymbar_tpu.parallel.sharding import sharded_bootstrap_polish_dd
+
+    mesh1 = _Mesh(np.asarray(jax.devices()[:1]), ("n",))
+    pl_sh = _NS(mesh1, _P(None, "n"))
+    u_hi_s = jax.device_put(u_hi, pl_sh)
+    if u_hi_s is not u_hi:
+        u_hi.delete()
+    u_lo_s = jax.device_put(u_lo, pl_sh)
+    if u_lo_s is not u_lo:
+        u_lo.delete()
+
+    def _mesh_boot():
+        return sharded_bootstrap_polish_dd(
+            u_hi_s, u_lo_s, Nk_host, f, info["hinv"], counts, mesh1
+        )
+
+    _mesh_boot()  # warm-up / compile
+    mesh_boot_s, (f_mboots, n_mfail, _mbi) = _median3(_mesh_boot)
+    mesh_reps_per_s = B / mesh_boot_s
+    # the mesh stream must reproduce the single-device replicates
+    mesh_max_dev = float(np.max(np.abs(f_mboots - np.asarray(f_boots))))
+
     # Free the planes, regenerate the same problem in f64 (deterministic
     # PRNG), and cross-check with the XLA-f64 adaptive solver.
-    del u_hi, u_lo, out, gh, gl, f_boots, f_bb
+    del u_hi, u_lo, u_hi_s, u_lo_s, out, gh, gl, f_boots, f_mboots, f_bb
     u64 = gen_f64(key)
     jax.block_until_ready(u64)
 
@@ -623,6 +656,9 @@ def tpu_solve():
             float(np.mean(boot_info["exact_iters"])), 2
         ),
         bootstrap_sigma_finite=boot_sigma_finite,
+        bootstrap_mesh_reps_per_s=round(mesh_reps_per_s, 3),
+        bootstrap_mesh_n_fail=int(n_mfail),
+        bootstrap_mesh_max_dev=mesh_max_dev,
         cov_s=round(cov_s, 3),
         expectations_s=round(expectations_s, 3),
         expectations_all_states_s=round(expectations_all_states_s, 3),
@@ -1001,6 +1037,9 @@ def main():
                 bootstrap_fast_iters=result["bootstrap_fast_iters"],
                 bootstrap_exact_iters_mean=result["bootstrap_exact_iters_mean"],
                 bootstrap_sigma_finite=result["bootstrap_sigma_finite"],
+                bootstrap_mesh_reps_per_s=result["bootstrap_mesh_reps_per_s"],
+                bootstrap_mesh_n_fail=result["bootstrap_mesh_n_fail"],
+                bootstrap_mesh_max_dev=result["bootstrap_mesh_max_dev"],
                 cov_s=result["cov_s"],
                 expectations_s=result["expectations_s"],
                 expectations_all_states_s=result["expectations_all_states_s"],

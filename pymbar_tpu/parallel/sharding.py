@@ -969,10 +969,19 @@ def sharded_bootstrap_polish_dd(
         f_boots = np.zeros((B, K))
         at_floor = np.zeros(B, bool)
         retry = []
+        # Same frontend-traffic optimization as the single-device engine:
+        # resample multiplicities are small integers, so the (group, N)
+        # count matrix crosses the tunnel and parks in HBM as uint8 (4x
+        # less than f32); _batched_wsum_S casts chunks to f32 on device.
+        up_dtype = (
+            np.uint8
+            if counts.max() <= 255 and np.all(counts == np.round(counts))
+            else np.float32
+        )
         for s in range(0, B, group):
             e = min(B, s + group)
             Bg = e - s
-            C = np.zeros((group if B > group else Bg, Np), np.float32)
+            C = np.zeros((group if B > group else Bg, Np), up_dtype)
             C[:Bg, :N] = counts[s:e]
             if Bg < C.shape[0]:
                 C[Bg:] = C[0]  # pad rows reuse the jit cache; discarded
