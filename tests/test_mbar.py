@@ -345,6 +345,26 @@ def test_overlap_stochastic(bundle):
     assert_almost_equal(np.real(results["eigenvalues"][0]), 1.0, decimal=PRECISION)
 
 
+def test_overlap_spectrum_matches_nonsymmetric_eig():
+    """The eigvalsh similarity route (spectrum of D^1/2 G D^1/2) must equal
+    the direct nonsymmetric eigvals of O = G diag(N_k) — including with an
+    empty state, where both forms carry an exact zero eigenvalue."""
+    d = len(N_K)
+    test = make_ho()
+    N_k = np.array(N_K, dtype=int).copy()
+    N_k[1] = 0  # empty state: zero column in O, zero row+column in the sym form
+    x_n, u_kn, _, _ = test.sample(N_k, mode="u_kn")
+    mbar = MBAR(u_kn, N_k)
+
+    results = mbar.compute_overlap()
+    direct = np.linalg.eigvals(results["matrix"])
+    assert np.max(np.abs(np.imag(direct))) < 1e-10
+    assert_almost_equal(
+        np.sort(np.real(direct))[::-1], results["eigenvalues"], decimal=10
+    )
+    assert np.min(np.abs(results["eigenvalues"])) < 1e-12  # the empty state
+
+
 def test_weights_column_normalized(bundle):
     W = bundle["mbar"].weights()
     assert_almost_equal(np.sum(W, axis=0), np.ones(W.shape[1]), decimal=PRECISION)
