@@ -500,12 +500,12 @@ def tpu_solve():
 
     mesh1 = _Mesh(np.asarray(jax.devices()[:1]), ("n",))
     pl_sh = _NS(mesh1, _P(None, "n"))
+    # On one device the target sharding is equivalent, so device_put
+    # returns a view over the SAME buffers (measured on this backend: a
+    # distinct Array object, shared storage — deleting the original
+    # kills both).  No copy happens, so nothing is freed here.
     u_hi_s = jax.device_put(u_hi, pl_sh)
-    if u_hi_s is not u_hi:
-        u_hi.delete()
     u_lo_s = jax.device_put(u_lo, pl_sh)
-    if u_lo_s is not u_lo:
-        u_lo.delete()
 
     def _mesh_boot():
         return sharded_bootstrap_polish_dd(
