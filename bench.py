@@ -467,7 +467,9 @@ def tpu_solve():
 
     rngb = np.random.RandomState(7)
     B = 64
-    counts = np.zeros((B, N), np.float32)
+    # uint16, matching MBAR.__init__'s builder: integer-typed counts skip
+    # the engine's full-matrix integrality scan on the one host vCPU
+    counts = np.zeros((B, N), np.uint16)
     for b in range(B):
         r = rngb.randint(0, N_PER_STATE, size=N) + np.repeat(
             np.arange(K) * N_PER_STATE, N_PER_STATE
@@ -655,6 +657,14 @@ def tpu_solve():
         bootstrap_exact_iters_mean=round(
             float(np.mean(boot_info["exact_iters"])), 2
         ),
+        bootstrap_exact_iters_max=int(np.max(boot_info["exact_iters"])),
+        # Median step delta per exact sweep across live replicates — the
+        # measured sweep-count budget (nan rows past every stop dropped).
+        bootstrap_exact_sweep_deltas=[
+            f"{np.nanmedian(row):.1e}"
+            for row in np.asarray(boot_info["exact_deltas"])
+            if np.any(np.isfinite(row))
+        ],
         bootstrap_sigma_finite=boot_sigma_finite,
         bootstrap_mesh_reps_per_s=round(mesh_reps_per_s, 3),
         bootstrap_mesh_n_fail=int(n_mfail),

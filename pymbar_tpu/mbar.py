@@ -916,11 +916,20 @@ class MBAR:
             if default_boot and self.K_nonzero == self.K and (
                 mesh is not None or dd_stage
             ):
-                bootstrap_counts = np.zeros((n_bootstraps, self.N), np.float32)
+                # uint16 layout: integer-typed counts let the batched engine
+                # skip its full-matrix integrality scan (~2 s of the one
+                # host vCPU at the bench config) and upload uint8.  A
+                # resample multiplicity above 65535 is theoretically
+                # possible (N_k > 65535 with an astronomically unlikely
+                # collision), so the builder widens to f32 if one appears.
+                bootstrap_counts = np.zeros((n_bootstraps, self.N), np.uint16)
                 for b in range(n_bootstraps):
-                    bootstrap_counts[b] = _resample_counts(
-                        self.bootstrap_rints[b], self.N, np.float32
+                    row = _resample_counts(
+                        self.bootstrap_rints[b], self.N, np.int64
                     )
+                    if row.max() > 65535 and bootstrap_counts.dtype == np.uint16:
+                        bootstrap_counts = bootstrap_counts.astype(np.float32)
+                    bootstrap_counts[b] = row
         elif n_bootstraps < 0:
             logger.warning("n_bootstraps must be an integer >= 0")
 

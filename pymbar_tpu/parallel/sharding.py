@@ -973,11 +973,16 @@ def sharded_bootstrap_polish_dd(
         # resample multiplicities are small integers, so the (group, N)
         # count matrix crosses the tunnel and parks in HBM as uint8 (4x
         # less than f32); _batched_wsum_S casts chunks to f32 on device.
-        up_dtype = (
-            np.uint8
-            if counts.max() <= 255 and np.all(counts == np.round(counts))
-            else np.float32
-        )
+        if counts.dtype == np.uint8:
+            up_dtype = np.uint8
+        elif np.issubdtype(counts.dtype, np.integer):
+            up_dtype = np.uint8 if counts.max() <= 255 else np.float32
+        else:
+            up_dtype = (
+                np.uint8
+                if counts.max() <= 255 and np.all(counts == np.round(counts))
+                else np.float32
+            )
         for s in range(0, B, group):
             e = min(B, s + group)
             Bg = e - s

@@ -398,7 +398,18 @@ def _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact):
     return S32.astype(jnp.float64)
 
 
-def _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=None):
+def _unpack4(Cp, B):
+    """(B, w) uint8 nibble-packed counts -> (B, 2w) f32.  Column 2j sits
+    in the high nibble of packed column j, column 2j+1 in the low nibble
+    (the host packer in :func:`bootstrap_polish_dd`)."""
+    hi = (Cp >> 4).astype(jnp.float32)
+    lo = (Cp & 0xF).astype(jnp.float32)
+    return jnp.stack([hi, lo], axis=-1).reshape(B, -1)
+
+
+def _batched_wsum_S(
+    u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=None, packed=False
+):
     """S_bk = r_bk sum_n c_bn T1_kn / den_bn for all B replicates: one
     streamed dd-exp pass over the planes + two matmuls per chunk.
     Sentinel pad columns (sharded layouts) need no masking here: their
@@ -407,24 +418,36 @@ def _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=None):
     When ``th`` (the resident base-point fast plane from
     :func:`_materialize_th`) is given, the non-exact pass slices it
     instead of recomputing the dd exp — identical values, ~20x cheaper
-    per fast iteration."""
+    per fast iteration.
+
+    ``packed`` marks ``C`` as 4-bit nibble-packed uint8 of shape
+    (B, N//2): resample multiplicities are almost always <= 15, so the
+    count matrix can cross the ~60 MB/s tunnel frontend at half a byte
+    per sample; chunks unpack on device (:func:`_unpack4`, VPU-trivial
+    next to the matmuls)."""
     K, N = u_hi.shape
     B = C.shape[0]
     use_th = th is not None and not exact
     R32 = R.astype(jnp.float32) if use_th else None
     S = jnp.zeros((B, K), jnp.float64)
     n_main = N // n_chunk
+
+    def slice_counts(s, width):
+        # counts may arrive uint8 (1 B/sample in HBM, 4x less than f32)
+        # or nibble-packed uint8 (0.5 B/sample); the f32 cast happens
+        # here, one chunk at a time.
+        if packed:
+            Cp = jax.lax.dynamic_slice(C, (0, s // 2), (B, width // 2))
+            return _unpack4(Cp, B)
+        return jax.lax.dynamic_slice(C, (0, s), (B, width)).astype(
+            jnp.float32
+        )
+
     if n_main:
 
         def body(i, acc):
             s = i * n_chunk
-            # counts may arrive uint8 (resample multiplicities are small
-            # integers, so the (B, N) matrix crosses the frontend and
-            # sits in HBM at 1 B/element — 4x less than f32); the f32
-            # cast happens here, one chunk at a time.
-            C_c = jax.lax.dynamic_slice(C, (0, s), (B, n_chunk)).astype(
-                jnp.float32
-            )
+            C_c = slice_counts(s, n_chunk)
             if use_th:
                 th_c = jax.lax.dynamic_slice(th, (0, s), (K, n_chunk))
                 return acc + _batched_boot_chunk_th(th_c, R32, C_c)
@@ -436,7 +459,9 @@ def _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=None):
     rem = N - n_main * n_chunk
     if rem:
         s = n_main * n_chunk
-        C_r = C[:, s:].astype(jnp.float32)
+        C_r = _unpack4(C[:, s // 2 :], B) if packed else C[:, s:].astype(
+            jnp.float32
+        )
         if use_th:
             S = S + _batched_boot_chunk_th(th[:, s:], R32, C_r)
         else:
@@ -592,9 +617,9 @@ def _batch_loop_from_S_fn(S_fn, B, N_k64, f0, hinv, tol, gamma, maxiter):
     return _batch_exact_from_S_fn(S_fn, F, N_k64, f0, hinv, tol, gamma, maxiter)
 
 
-@partial(jax.jit, static_argnames=("n_chunk",))
+@partial(jax.jit, static_argnames=("n_chunk", "packed"))
 def _polish_while_dd_batch_fast(
-    u_hi, u_lo, C, N_k64, f0, hinv, gamma, n_chunk, th=None
+    u_hi, u_lo, C, N_k64, f0, hinv, gamma, n_chunk, th=None, packed=False
 ):
     """FAST phase of the single-device batched bootstrap as its own jit
     (the phase boundary is a production dispatch point so the engine can
@@ -604,7 +629,7 @@ def _polish_while_dd_batch_fast(
 
     def S_fn(g0h, g0l, R, exact):
         return _batched_wsum_S(
-            u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=th
+            u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, th=th, packed=packed
         )
 
     return _batch_fast_from_S_fn(
@@ -612,15 +637,18 @@ def _polish_while_dd_batch_fast(
     )
 
 
-@partial(jax.jit, static_argnames=("maxiter", "n_chunk"))
+@partial(jax.jit, static_argnames=("maxiter", "n_chunk", "packed"))
 def _polish_while_dd_batch_exact(
-    u_hi, u_lo, C, N_k64, F, f0, hinv, tol, gamma, maxiter, n_chunk
+    u_hi, u_lo, C, N_k64, F, f0, hinv, tol, gamma, maxiter, n_chunk,
+    packed=False,
 ):
     """EXACT phase of the single-device batched bootstrap (f64 matmuls,
     per-replicate certification) as its own jit."""
 
     def S_fn(g0h, g0l, R, exact):
-        return _batched_wsum_S(u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact)
+        return _batched_wsum_S(
+            u_hi, u_lo, g0h, g0l, R, C, n_chunk, exact, packed=packed
+        )
 
     return _batch_exact_from_S_fn(
         S_fn, F, N_k64, f0, hinv, tol, gamma, maxiter
@@ -628,7 +656,8 @@ def _polish_while_dd_batch_exact(
 
 
 def _polish_while_dd_batch(
-    u_hi, u_lo, C, N_k64, f0, hinv, tol, gamma, maxiter, n_chunk, th=None
+    u_hi, u_lo, C, N_k64, f0, hinv, tol, gamma, maxiter, n_chunk, th=None,
+    packed=False,
 ):
     """ALL bootstrap replicates polished together on one device: the
     two-phase batched loop over the single-device streamed pass
@@ -637,10 +666,11 @@ def _polish_while_dd_batch(
     of the resident planes — the serial per-replicate formulation pays
     that stream B times."""
     F, _it_f = _polish_while_dd_batch_fast(
-        u_hi, u_lo, C, N_k64, f0, hinv, gamma, n_chunk, th=th
+        u_hi, u_lo, C, N_k64, f0, hinv, gamma, n_chunk, th=th, packed=packed
     )
     return _polish_while_dd_batch_exact(
-        u_hi, u_lo, C, N_k64, F, f0, hinv, tol, gamma, maxiter, n_chunk
+        u_hi, u_lo, C, N_k64, F, f0, hinv, tol, gamma, maxiter, n_chunk,
+        packed=packed,
     )
 
 
@@ -648,7 +678,11 @@ def _batch_chunk_width(K, N):
     """Sample-chunk width for the batched replicate pass: ~2^24 f64 chunk
     elements (a ~128 MB T1 buffer at K=1024; the f64-emulated dot_general
     adds an ~4x f32 scratch on TPU) keeps the matmuls MXU-sized without
-    stressing HBM next to the resident planes."""
+    stressing HBM next to the resident planes.  2^25 was probed in round 5
+    and REGRESSED: the isolated chunk matmul looked ~12% faster, but in
+    production the per-sweep wall was unchanged (1.10 s) while the exact
+    phase's step-noise floor degraded enough that replicates churned to
+    maxiter and fell into serial retries (probe_bootstrap.py log r5)."""
     return int(max(1024, min(N, (1 << 24) // max(K, 1))))
 
 
@@ -747,12 +781,16 @@ def bootstrap_polish_dd(
     if mode == "batched":
         import time as _time
 
+        _t_all = _time.time()
         hinv_j = jnp.asarray(hinv, jnp.float64)
         n_chunk = _batch_chunk_width(K, N)
         # Group replicates so the device counts matrix stays ~<=1 GB next
         # to the resident planes; one compilation per distinct group shape.
         group = _batch_group_size(B, N)
-        walls = dict(upload_s=0.0, materialize_s=0.0, fast_s=0.0, exact_s=0.0)
+        walls = dict(
+            prep_s=0.0, upload_s=0.0, materialize_s=0.0, fast_s=0.0,
+            exact_s=0.0,
+        )
         th = None
         t0 = _time.time()
         if _use_resident_th(K, N):
@@ -771,15 +809,40 @@ def bootstrap_polish_dd(
         # 1e6 Poisson(1)-like draws is ~12), so the (group, N) matrix
         # crosses the tunnel and parks in HBM as uint8 — 4x less than f32;
         # the engine casts chunks to f32 on device.
-        up_dtype = (
-            np.uint8
-            if counts.max() <= 255 and np.all(counts == np.round(counts))
-            else np.float32
+        t0 = _time.time()
+        counts_max = counts.max()
+        if counts.dtype == np.uint8:
+            up_dtype = np.uint8  # already the upload layout: no more scans
+        elif np.issubdtype(counts.dtype, np.integer):
+            up_dtype = np.uint8 if counts_max <= 255 else np.float32
+        else:
+            # float counts: the integrality scan over the full (B, N)
+            # matrix costs ~2 s of the one host vCPU at the bench config —
+            # callers that build integer resamples should pass uint8/uint16.
+            up_dtype = (
+                np.uint8
+                if counts_max <= 255 and np.all(counts == np.round(counts))
+                else np.float32
+            )
+        # Nibble packing: multiplicities <= 15 (true for any realistic
+        # resample of >~100 samples/state; max over 1e6 Poisson(1)-like
+        # draws is ~12) cross the ~60 MB/s tunnel at half a byte per
+        # sample.  Chunks unpack on device (_unpack4).
+        pack4 = (
+            up_dtype == np.uint8
+            and counts_max <= 15
+            and N % 2 == 0
+            and n_chunk % 2 == 0
         )
+        walls["prep_s"] += _time.time() - t0
         for s in range(0, B, group):
             e = min(B, s + group)
             Bg = e - s
+            t0 = _time.time()
             C = np.asarray(counts[s:e], up_dtype)
+            if pack4:
+                C = (C[:, 0::2] << 4) | C[:, 1::2]
+            walls["prep_s"] += _time.time() - t0
             if Bg < group and B > group:
                 # Pad the tail group to the common shape (reuses the jit
                 # cache) with copies of its first row; results discarded.
@@ -797,15 +860,15 @@ def bootstrap_polish_dd(
             t0 = _time.time()
             F, it_f = _polish_while_dd_batch_fast(
                 u_hi, u_lo, C_dev, N_k64, f0, hinv_j, gamma_j, n_chunk,
-                th=th,
+                th=th, packed=pack4,
             )
             float(F[0, 0])
             walls["fast_s"] += _time.time() - t0
             fast_iters = max(fast_iters, int(it_f))
             t0 = _time.time()
-            F, iters, _deltas, conv, floor = _polish_while_dd_batch_exact(
+            F, iters, deltas_g, conv, floor = _polish_while_dd_batch_exact(
                 u_hi, u_lo, C_dev, N_k64, F, f0, hinv_j,
-                tol_j, gamma_j, maxiter, n_chunk,
+                tol_j, gamma_j, maxiter, n_chunk, packed=pack4,
             )
             F = np.asarray(F)[:Bg]
             walls["exact_s"] += _time.time() - t0
@@ -842,9 +905,14 @@ def bootstrap_polish_dd(
                 n_fail += 1
             f_boots[b] = np.asarray(f_b)
         info = _boot_info(at_floor, B, n_fail)
+        walls["total_s"] = _time.time() - _t_all
         info["phase_walls"] = {k: round(v, 3) for k, v in walls.items()}
         info["fast_iters"] = fast_iters
         info["exact_iters"] = exact_iters
+        # Last group's per-iteration step deltas (maxiter, group) — nan
+        # past each replicate's stop; the bench publishes quantiles so the
+        # sweep-count budget is measured, not inferred (VERDICT r4 item 2).
+        info["exact_deltas"] = np.asarray(deltas_g)
         return f_boots, n_fail, info
 
     f_boots = np.zeros((B, K))

@@ -391,3 +391,36 @@ def test_bootstrap_batched_group_split(problem):
         sl._batch_chunk_width = orig
     assert nf == 0
     assert np.max(np.abs(fb_grp - fb_one)) < 1e-12
+
+
+def test_bootstrap_packed_counts_match_float(problem):
+    """Integer-typed counts ride the nibble-packed uint8 upload (half a
+    byte per sample over the frontend, device-side unpack); the packed
+    route must reproduce the float-counts route bit-for-bit — the unpack
+    reconstructs the exact same f32 chunk values."""
+    from pymbar_tpu.solvers_large import (
+        _unpack4,
+        bootstrap_polish_dd,
+    )
+
+    u64, N_k = problem
+    uh, ul = dd_from_f64(u64)
+    f_k, info = solve_mbar_dd(uh, ul, N_k, tol=1e-12)
+    rng = np.random.default_rng(11)
+    counts = _boot_counts(rng, N_k, B=4)
+    assert counts.max() <= 15  # nibble-packable (production regime)
+
+    fb_f32, nf_f, _ = bootstrap_polish_dd(
+        uh, ul, N_k, f_k, info["hinv"], counts.astype(np.float32)
+    )
+    fb_u16, nf_u, bi = bootstrap_polish_dd(
+        uh, ul, N_k, f_k, info["hinv"], counts.astype(np.uint16)
+    )
+    assert nf_f == 0 and nf_u == 0
+    assert np.array_equal(fb_u16, fb_f32)  # identical weights -> identical polish
+
+    # the device unpack inverts the host packer exactly
+    C8 = counts.astype(np.uint8)
+    Cp = (C8[:, 0::2] << 4) | C8[:, 1::2]
+    un = np.asarray(_unpack4(jnp.asarray(Cp), counts.shape[0]))
+    assert np.array_equal(un, counts.astype(np.float32))
