@@ -1046,6 +1046,10 @@ def main():
                 bootstrap_phase_walls=result["bootstrap_phase_walls"],
                 bootstrap_fast_iters=result["bootstrap_fast_iters"],
                 bootstrap_exact_iters_mean=result["bootstrap_exact_iters_mean"],
+                bootstrap_exact_iters_max=result.get("bootstrap_exact_iters_max"),
+                bootstrap_exact_sweep_deltas=result.get(
+                    "bootstrap_exact_sweep_deltas"
+                ),
                 bootstrap_sigma_finite=result["bootstrap_sigma_finite"],
                 bootstrap_mesh_reps_per_s=result["bootstrap_mesh_reps_per_s"],
                 bootstrap_mesh_n_fail=result["bootstrap_mesh_n_fail"],
