@@ -341,20 +341,56 @@ def _materialize_th(u_hi, u_lo, g0h, g0l, n_chunk):
     return th_full
 
 
+# Sample-segment width for the fast phase's f64-segmented S contraction:
+# the (B, nc) x (K, nc) weight-sum matmul runs f32 on the MXU in SEG-wide
+# segments with f64 inter-segment adds.  Bounding each f32 accumulation
+# chain at 512 terms cuts the pass's relative S error from ~1.7e-6 (full
+# nc=2^14 chain) to ~2.5e-8 at UNCHANGED wall time (both measured 0.06 s
+# at the 8 GB bench config, profiling/probe_fast_floor.py) — the batched
+# dot_general tiles onto the MXU exactly like the flat one.  Through the
+# chord iteration's ~750x error amplification that moves the fast phase's
+# fixed-point displacement from ~1.3e-3 to ~2e-5, which is what the exact
+# phase inherits as its start error (≈2 fewer f64-emulated sweeps).
+_FAST_SEG = 512
+
+
+def _seg_wsum(W, th_c, seg=_FAST_SEG):
+    """f64-segmented (B, nc) x (K, nc) -> (B, K) weight-sum contraction:
+    f32 MXU dots over ``seg``-wide sample segments, f64 adds between
+    segments.  Width need not divide ``seg``; the tail contracts flat."""
+    B, nc = W.shape
+    K = th_c.shape[0]
+    dim_bn_kn = (((1,), (1,)), ((), ()))
+    nseg = nc // seg
+    S = jnp.zeros((B, K), jnp.float64)
+    if nseg:
+        main = nseg * seg
+        Wr = W[:, :main].reshape(B, nseg, seg)
+        Tr = th_c[:, :main].reshape(K, nseg, seg)
+        S_seg = jax.lax.dot_general(
+            Wr, Tr, (((2,), (2,)), ((1,), (1,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (nseg, B, K)
+        S = jnp.sum(S_seg.astype(jnp.float64), axis=0)
+    if nc - nseg * seg:
+        S_tail = jax.lax.dot_general(
+            W[:, nseg * seg:], th_c[:, nseg * seg:], dim_bn_kn,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        S = S + S_tail.astype(jnp.float64)
+    return S
+
+
 def _batched_boot_chunk_th(th_c, R32, C_c):
     """Fast-phase chunk contribution from the RESIDENT th plane: no dd
-    exp, just the two (B, K) x (K, nc) MXU matmuls of
-    :func:`_batched_boot_chunk`'s f32 branch on a pre-computed T1 chunk."""
+    exp, just the denominator matmul plus the f64-segmented weight-sum
+    contraction (:func:`_seg_wsum`) on a pre-computed T1 chunk."""
     dim_bk_kn = (((1,), (0,)), ((), ()))
-    dim_bn_kn = (((1,), (1,)), ((), ()))
     den = jax.lax.dot_general(
         R32, th_c, dim_bk_kn, precision=jax.lax.Precision.HIGHEST
     )
     W = C_c / den
-    S32 = jax.lax.dot_general(
-        W, th_c, dim_bn_kn, precision=jax.lax.Precision.HIGHEST
-    )
-    return S32.astype(jnp.float64)
+    return _seg_wsum(W, th_c)
 
 
 def _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact):
@@ -368,8 +404,9 @@ def _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact):
     replicate, and the per-replicate work collapses to two (B, K) x (K, nc)
     matmuls on the MXU.  ``exact`` selects f64 matmuls (true-f64 accurate
     on TPU via XLA emulation — whole-S error measured 2e-14 — but ~11x the
-    f32 MXU cost) vs f32 HIGHEST matmuls on the hi plane only (~3e-7
-    relative in S, which bounds the fast phase's convergence floor).
+    f32 MXU cost) vs f64-segmented f32 matmuls on the hi plane only
+    (~2.5e-8 relative in S via :func:`_seg_wsum`, which bounds the fast
+    phase's fixed-point displacement at ~2e-5).
     Returns the (B, K) partial sum_n C_bn T1_kn / den_bn (the caller
     scales by r_bk).
     """
@@ -392,10 +429,7 @@ def _batched_boot_chunk(uh_c, ul_c, g0h, g0l, R, C_c, exact):
         R32, th, dim_bk_kn, precision=jax.lax.Precision.HIGHEST
     )
     W = C_c / den
-    S32 = jax.lax.dot_general(
-        W, th, dim_bn_kn, precision=jax.lax.Precision.HIGHEST
-    )
-    return S32.astype(jnp.float64)
+    return _seg_wsum(W, th)
 
 
 def _unpack4(Cp, B):
@@ -471,8 +505,11 @@ def _batched_wsum_S(
     return R * S
 
 
-# Fast-phase (f32-matmul) stop: a hair above the measured ~3e-7 S-error
-# floor; below this the exact phase takes over.
+# Fast-phase stop: with the f64-segmented S pass the step-delta plateau
+# sits at ~2e-7 (≈7x the ~2.5e-8 S error, probe_fast_floor.py), so 1e-6
+# is reached in ~3 iterations instead of capping at _BATCH_FAST_MAXITER;
+# iterating further cannot help — the fast fixed point itself is
+# displaced ~2e-5 from truth, which is the exact phase's start error.
 _BATCH_FAST_TOL = 1.0e-6
 _BATCH_FAST_MAXITER = 10
 
@@ -492,10 +529,10 @@ def _batch_step(S_fn, g0h, g0l, f0, N_k64, hinv, gamma, F, exact):
 
 
 def _batch_fast_from_S_fn(S_fn, B, N_k64, f0, hinv, gamma):
-    """FAST phase of the batched bootstrap: f32-MXU matmul iterations take
-    every replicate from its ~1/sqrt(N_k) start displacement down to the
-    ~3e-7 f32 floor (stop at _BATCH_FAST_TOL).  Returns (F, iterations).
-    """
+    """FAST phase of the batched bootstrap: f64-segmented f32-MXU matmul
+    iterations take every replicate from its ~1/sqrt(N_k) start
+    displacement down to the ~2e-7 segmented-pass delta plateau (stop at
+    _BATCH_FAST_TOL).  Returns (F, iterations)."""
     g0h, g0l = dd_from_f64(f0 + jnp.log(N_k64))
     F0 = jnp.broadcast_to(f0[None, :], (B, f0.shape[0])).astype(jnp.float64)
 
@@ -599,10 +636,11 @@ def _batch_loop_from_S_fn(S_fn, B, N_k64, f0, hinv, tol, gamma, maxiter):
 
     Steps are the same frozen-factor chord-Newton as :func:`_polish_loop`,
     vectorized over the replicate axis, in two while_loops: a FAST phase
-    whose matmuls run on the f32 MXU (floor ~3e-7, ~8% of the exact pass's
-    matmul cost) takes the replicates from their ~1/sqrt(N_k) start
-    displacement to ~1e-6, then the EXACT phase (f64 matmuls) contracts
-    ~3e-3/iteration to the dd noise floor — ~3 exact passes instead of ~6.
+    whose matmuls run f64-segmented on the f32 MXU (S error ~2.5e-8, ~8%
+    of the exact pass's matmul cost) takes the replicates from their
+    ~1/sqrt(N_k) start displacement to a fixed point ~2e-5 from truth,
+    then the EXACT phase (f64 matmuls) contracts ~3e-3/iteration to the
+    dd noise floor — ~3 exact passes instead of ~6.
     Per-replicate stop rules (converged / stalled / tiny / predictive
     noise-floor / non-finite) freeze a replicate's iterate while the rest
     keep polishing.  Returns (F (B, K), iters (B,), deltas (maxiter, B)
