@@ -487,6 +487,27 @@ def tpu_solve():
     boot_reps_per_s = B / boot_s
     boot_sigma_finite = bool(np.all(np.isfinite(np.std(f_boots, axis=0))))
 
+    # Reference-equivalent tolerance: the reference solves every bootstrap
+    # replicate with its default relative_tolerance=1e-7
+    # (/root/reference/pymbar/mbar.py:90); the headline number above
+    # certifies 1e-12 (5 orders tighter).  tol is a traced scalar in the
+    # exact-phase jit, so this re-times the SAME compiled engine — the
+    # apples-to-apples replicate throughput at reference semantics.
+    reftol_s, (f_boots_rt, n_fail_rt, _bi_rt) = _median3(
+        lambda: bootstrap_polish_dd(
+            u_hi, u_lo, Nk_host, f, info["hinv"], counts, tol=1.0e-7
+        )
+    )
+    boot_reftol_reps_per_s = B / reftol_s
+    # at 1e-7 every replicate must certify d < tol outright
+    boot_reftol_n_fail = int(n_fail_rt)
+    # the loose-tol replicates must agree with the tight ones far below
+    # the statistical noise (sigma >= ~1e-5)
+    boot_reftol_max_dev = float(
+        np.max(np.abs(np.asarray(f_boots_rt) - np.asarray(f_boots)))
+    )
+    del f_boots_rt
+
     # Mesh twin at the same HBM edge (VERDICT r4 item 10): force the
     # sharded batched-bootstrap path on a 1-device mesh over the REAL
     # chip — n-sharded plane layout, per-shard resident th plane, count
@@ -666,6 +687,12 @@ def tpu_solve():
             if np.any(np.isfinite(row))
         ],
         bootstrap_sigma_finite=boot_sigma_finite,
+        # Same engine at the reference's own replicate tolerance (1e-7,
+        # /root/reference/pymbar/mbar.py:90) — the apples-to-apples
+        # throughput; the headline above certifies 1e-12.
+        bootstrap_reftol_reps_per_s=round(boot_reftol_reps_per_s, 3),
+        bootstrap_reftol_n_fail=boot_reftol_n_fail,
+        bootstrap_reftol_max_dev_vs_tight=boot_reftol_max_dev,
         bootstrap_mesh_reps_per_s=round(mesh_reps_per_s, 3),
         bootstrap_mesh_n_fail=int(n_mfail),
         bootstrap_mesh_max_dev=mesh_max_dev,
@@ -1051,6 +1078,13 @@ def main():
                     "bootstrap_exact_sweep_deltas"
                 ),
                 bootstrap_sigma_finite=result["bootstrap_sigma_finite"],
+                bootstrap_reftol_reps_per_s=result.get(
+                    "bootstrap_reftol_reps_per_s"
+                ),
+                bootstrap_reftol_n_fail=result.get("bootstrap_reftol_n_fail"),
+                bootstrap_reftol_max_dev_vs_tight=result.get(
+                    "bootstrap_reftol_max_dev_vs_tight"
+                ),
                 bootstrap_mesh_reps_per_s=result["bootstrap_mesh_reps_per_s"],
                 bootstrap_mesh_n_fail=result["bootstrap_mesh_n_fail"],
                 bootstrap_mesh_max_dev=result["bootstrap_mesh_max_dev"],
