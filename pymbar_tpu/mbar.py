@@ -2829,7 +2829,7 @@ class MBAR:
                         "A squared uncertainty is negative. Largest "
                         "Magnitude = {0:f}".format(abs(m))
                     )
-                result_vals[name] = np.asarray(sig32, dtype=np.float64)
+                result_vals[name] = MBAR._unpack_sigma_triu(sig32, K)
         else:
             covf = Theta[2 * K : 3 * K, 2 * K : 3 * K]
             result_vals["dDelta_f"] = self._ErrorOfDifferences(
@@ -2882,12 +2882,15 @@ class MBAR:
           (row-scaling on the left of ∘, column-scaling on the right)
 
         σ algebra needs only ~1e-4 (bench sigma canary 2.4e-4), so the
-        three (K, K) results cross the tunnel as f32 — 12 MB instead of
-        the 24 MB of f64 block downloads that dominated the entropy wall
-        (VERDICT r4 item 4); f32 rounding perturbs σ by <2e-7 relative
-        (pinned by tests/test_mbar.py::test_entropy_sigma_dev_transport).
-        Returns (σ_f, σ_u, σ_s as f32, min-d2 per matrix for the host-side
-        negative-variance warning).
+        three (K, K) results cross the tunnel as f32 — and since every σ
+        matrix is symmetric (Θ is a covariance matrix), only the packed
+        upper triangles cross: 6 MB instead of the 24 MB of f64 block
+        downloads that dominated the entropy wall (VERDICT r4 item 4);
+        f32 rounding perturbs σ by <2e-7 relative (pinned by
+        tests/test_mbar.py::test_entropy_sigma_dev_transport).
+        Returns (σ_f, σ_u, σ_s as f32 (3, K(K+1)/2) packed rows, min-d2
+        per matrix for the host-side negative-variance warning); unpack
+        with :meth:`_unpack_sigma_triu`.
         """
         K = Th2.shape[0] // 2
         TAA = Th2[:K, :K]
@@ -2901,10 +2904,12 @@ class MBAR:
             + a[:, None] * (TAf - Tff)
             + (TfA - Tff) * a[None, :]
         )
+        iu, ju = np.triu_indices(K)  # static under jit (K is static)
 
         def sig(cov):
             diag = jnp.diagonal(cov)
             d2 = diag[None, :] + diag[:, None] - 2.0 * cov
+            d2 = d2[iu, ju]  # symmetric: ship the upper triangle only
             m = jnp.min(d2)
             # reference clamp rule: small negatives zero ONLY when no
             # entry exceeds the warning cutoff (mbar.py:1687-1715)
@@ -2916,6 +2921,16 @@ class MBAR:
         su, mu_ = sig(covu)
         ss, ms = sig(covs)
         return sf, su, ss, jnp.stack([mf, mu_, ms])
+
+    @staticmethod
+    def _unpack_sigma_triu(packed, K):
+        """Rebuild the symmetric (K, K) σ matrix from its packed f32 upper
+        triangle (the `_entropy_sigmas_dev` transport format)."""
+        out = np.zeros((K, K), dtype=np.float64)
+        iu, ju = np.triu_indices(K)
+        out[iu, ju] = np.asarray(packed, dtype=np.float64)
+        out[ju, iu] = out[iu, ju]
+        return out
 
     def _ErrorOfDifferences(self, cov, warning_cutoff=1.0e-10):
         """sigma_ij = sqrt(Theta_ii + Theta_jj - 2 Theta_ij), clamping tiny

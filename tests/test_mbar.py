@@ -890,9 +890,11 @@ def test_entropy_sigma_dev_transport():
         - T[K : 2 * K, 2 * K :] - T[2 * K :, K : 2 * K]
     )
     for dev, host in ((sf, covf), (su, covu), (ss, covs)):
+        got = MBAR._unpack_sigma_triu(dev, K)  # packed-triangle transport
         ref = err_of_diff(host)
+        assert np.allclose(got, got.T), "unpacked sigma not symmetric"
         scale = np.maximum(np.abs(ref), np.max(ref) * 1e-3)
-        rel = np.max(np.abs(np.asarray(dev, np.float64) - ref) / scale)
+        rel = np.max(np.abs(got - ref) / scale)
         assert rel < 2e-7, rel
 
 
